@@ -1,0 +1,179 @@
+"""Gorilla time-series compression (Facebook Gorilla, VLDB'15 §4.1).
+
+Deterministic byte encoding of one (timestamps, values) series:
+
+- timestamps: delta-of-delta with the paper's bucket code
+  (0 | 10+7b | 110+9b | 1110+12b | 1111+64b full delta-of-delta)
+- values: XOR with previous; '0' if identical, else '1' + ('0' reuse previous
+  leading/meaningful window | '1' + 6b leading + 6b meaningful-length) + bits
+
+decode(encode(ts, v)) == (ts, v) bit-exact — property-tested. Used as the
+blob payload of the rollup sink (one blob per (url, bucket_start, tier)).
+The reference has no compressed storage (SURVEY.md §2.1 S4); this implements
+the north rule's storage format from the public paper.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["gorilla_encode", "gorilla_decode"]
+
+_MAGIC = b"GTS1"
+
+
+class _BitWriter:
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+
+    def getvalue(self) -> bytes:
+        pad = (-self.nbits) % 8
+        acc = self.acc << pad
+        return acc.to_bytes((self.nbits + pad) // 8, "big")
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            bit = (byte >> (7 - (self.pos & 7))) & 1
+            out = (out << 1) | bit
+            self.pos += 1
+        return out
+
+
+def _clz64(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def gorilla_encode(ts: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode int64 timestamps (sorted) + float64 values into a Gorilla blob."""
+    ts = np.asarray(ts, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    n = len(ts)
+    header = _MAGIC + struct.pack(">I", n)
+    if n == 0:
+        return header
+    header += struct.pack(">q", int(ts[0]))
+    header += struct.pack(">Q", int(np.float64(values[0]).view(np.uint64)))
+    if n == 1:
+        return header
+
+    w = _BitWriter()
+    # timestamps
+    deltas = np.diff(ts)
+    dods = np.diff(np.concatenate(([np.int64(0)], deltas)))
+    for dod in dods.tolist():
+        if dod == 0:
+            w.write(0, 1)
+        elif -63 <= dod <= 64:
+            w.write(0b10, 2)
+            w.write(dod + 63, 7)
+        elif -255 <= dod <= 256:
+            w.write(0b110, 3)
+            w.write(dod + 255, 9)
+        elif -2047 <= dod <= 2048:
+            w.write(0b1110, 4)
+            w.write(dod + 2047, 12)
+        else:
+            w.write(0b1111, 4)
+            w.write(dod & ((1 << 64) - 1), 64)
+
+    # values
+    bits = values.view(np.uint64)
+    xors = (bits[1:] ^ bits[:-1]).tolist()
+    prev_lead, prev_mean = 65, 0  # invalid window → first nonzero xor writes one
+    for x in xors:
+        if x == 0:
+            w.write(0, 1)
+            continue
+        w.write(1, 1)
+        lead = _clz64(x)
+        if lead > 31:
+            lead = 31  # paper caps leading-zero field
+        trail = (x & -x).bit_length() - 1
+        meaningful = 64 - lead - trail
+        if (prev_lead <= lead and
+                (64 - prev_lead - prev_mean) <= trail):
+            # fits inside previous window
+            w.write(0, 1)
+            w.write(x >> (64 - prev_lead - prev_mean), prev_mean)
+        else:
+            w.write(1, 1)
+            w.write(lead, 6)
+            w.write(meaningful - 1, 6)  # 1..64 stored as 0..63
+            w.write(x >> trail, meaningful)
+            prev_lead, prev_mean = lead, meaningful
+    return header + w.getvalue()
+
+
+def gorilla_decode(blob: bytes):
+    """Decode a blob → (ts int64 array, values float64 array)."""
+    if blob[:4] != _MAGIC:
+        raise ValueError("bad gorilla magic")
+    (n,) = struct.unpack(">I", blob[4:8])
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    (t0,) = struct.unpack(">q", blob[8:16])
+    (v0_bits,) = struct.unpack(">Q", blob[16:24])
+    ts = np.empty(n, dtype=np.int64)
+    vals_bits = np.empty(n, dtype=np.uint64)
+    ts[0] = t0
+    vals_bits[0] = v0_bits
+    if n == 1:
+        return ts, vals_bits.view(np.float64)
+
+    r = _BitReader(blob[24:])
+    delta = 0
+    t = t0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            dod = r.read(64)
+            if dod >= (1 << 63):
+                dod -= 1 << 64
+        delta += dod
+        t += delta
+        ts[i] = t
+
+    prev = v0_bits
+    prev_lead, prev_mean = 65, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            vals_bits[i] = prev
+            continue
+        if r.read(1) == 0:
+            mbits = r.read(prev_mean)
+            x = mbits << (64 - prev_lead - prev_mean)
+        else:
+            lead = r.read(6)
+            mean = r.read(6) + 1
+            mbits = r.read(mean)
+            x = mbits << (64 - lead - mean)
+            prev_lead, prev_mean = lead, mean
+        prev = np.uint64(int(prev) ^ x)
+        vals_bits[i] = prev
+    return ts, vals_bits.view(np.float64)

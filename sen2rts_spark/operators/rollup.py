@@ -1,0 +1,78 @@
+"""Continuous-aggregate rollup tiers: raw → hourly → daily → weekly.
+
+The graft's cube analogue (SURVEY.md §2.4 note): each tier is an exact,
+associative re-aggregation of the previous one — partial sums (count, wsum,
+vwsum), min/max, and last-by-timestamp fold losslessly, so
+``daily(hourly(raw)) ≡ daily(raw)`` (property-tested). The qa-weighted bucket
+value reproduces the reference's A1 weighted mean (extract_s2ts.R:402-411).
+
+All tiers are plain ``groupBy(id, window(ts, tier))`` — map-side partial
+aggregation + one shuffle per tier; AQE coalesces post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["rollup_raw", "rollup_tier", "TIER_SECONDS", "ROLLUP_SCHEMA"]
+
+TIER_SECONDS = {"hourly": 3600, "daily": 86400, "weekly": 7 * 86400}
+
+ROLLUP_SCHEMA = ("id string, bucket_start timestamp, count bigint, "
+                 "wsum double, vwsum double, vmin double, vmax double, "
+                 "last_ts timestamp, last_value double, value double")
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    return df.withColumn("value", F.col("vwsum") / F.col("wsum"))
+
+
+def rollup_raw(obs: DataFrame, tier: str = "hourly",
+               ts_col: str = "ts", id_col: str = "id",
+               value_col: str = "value", qa_col: str = "qa") -> DataFrame:
+    """Raw observations → first tier. Weight = qa + 1e-9 (A1)."""
+    secs = TIER_SECONDS[tier]
+    w = F.coalesce(F.col(qa_col).cast("double"), F.lit(0.0)) + F.lit(1e-9)
+    out = (
+        obs.select(
+            F.col(id_col).alias("id"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).cast("double").alias("v"),
+            w.alias("w"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("id", F.window("ts", f"{secs} seconds").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum("w").alias("wsum"),
+            F.sum(F.col("v") * F.col("w")).alias("vwsum"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("v", "ts").alias("last_value"),
+        )
+        .select("id", F.col("win.start").alias("bucket_start"), "count",
+                "wsum", "vwsum", "vmin", "vmax", "last_ts", "last_value")
+    )
+    return _finish(out)
+
+
+def rollup_tier(prev: DataFrame, tier: str) -> DataFrame:
+    """Fold a finer tier into a coarser one (exact associative re-agg)."""
+    secs = TIER_SECONDS[tier]
+    out = (
+        prev.groupBy("id", F.window("bucket_start", f"{secs} seconds").alias("win"))
+        .agg(
+            F.sum("count").alias("count"),
+            F.sum("wsum").alias("wsum"),
+            F.sum("vwsum").alias("vwsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.max("last_ts").alias("last_ts"),
+            F.max_by("last_value", "last_ts").alias("last_value"),
+        )
+        .select("id", F.col("win.start").alias("bucket_start"), "count",
+                "wsum", "vwsum", "vmin", "vmax", "last_ts", "last_value")
+    )
+    return _finish(out)

@@ -1,0 +1,210 @@
+"""Per-series pipeline operators: smooth → fill → cut_cycles → pheno.
+
+Each operator is one ``applyInPandas`` over ``groupBy(id)`` — the reference's
+per-id R loops (smooth_s2ts.R:182,197; fill_s2ts.R:75; cut_cycles.R body)
+become Arrow-batched numpy kernels executed in parallel across millions of
+series; the only shuffle is the hash partition on id, reused stage to stage.
+
+Scale note: a series must be colocated for its kernel, so per-series stages
+cannot be salted — series length is bounded instead by rolling up to the
+daily tier BEFORE smoothing (SURVEY.md §4.3). Kernel errors on degenerate
+series (e.g. shorter than the SG window) yield NULL smoothed values rather
+than failing the task (deviation from the reference, which errors the run).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..kernels.cycles import cut_cycles_series
+from ..kernels.dlog import fake_fit, fit_gu
+from ..kernels.pheno import pheno_deriv, pheno_trs
+from ..kernels.series import fill_series, smooth_series
+
+__all__ = ["smooth", "fill", "cut_cycles", "extract_pheno", "SMOOTH_SCHEMA",
+           "FILL_SCHEMA", "CYCLES_SCHEMA", "PHENO_SCHEMA"]
+
+SMOOTH_SCHEMA = ("id string, date date, orbit string, sensor string, "
+                 "value double, qa double, rawval double")
+FILL_SCHEMA = SMOOTH_SCHEMA + ", interpolated boolean"
+CYCLES_SCHEMA = ("id string, year int, cycle int, begin date, end date, "
+                 "maxval date, weight double")
+PHENO_SCHEMA = (CYCLES_SCHEMA +
+                ", sos date, eos date, los int, pop date, mgs double, "
+                "rsp double, rau double, peak double, msp double, mau double")
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def _days_from_dates(s: pd.Series) -> np.ndarray:
+    return np.array([(d - _EPOCH).days if d is not None else -1
+                     for d in s], dtype=np.int64)
+
+
+def _dates_from_days(days) -> list:
+    return [_EPOCH + _dt.timedelta(days=int(d)) for d in days]
+
+
+def smooth(obs: DataFrame, min_qa: float = 0.2, noise_dir: str = "low",
+           spike: float = 0.25, spike_window: int = 5, sg_daywindow: int = 15,
+           sg_polynom: int = 2, sg_n: int = 3,
+           max_extrapolation: float = 0.1) -> DataFrame:
+    """obs_raw → obs_smoothed (adds rawval; value = smoothed or NULL)."""
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = _days_from_dates(pdf["date"])
+        try:
+            out = smooth_series(
+                days,
+                pdf["value"].to_numpy(dtype=np.float64),
+                pdf["qa"].to_numpy(dtype=np.float64) if "qa" in pdf else None,
+                pdf["sensor"].to_numpy(dtype=object),
+                pdf["orbit"].to_numpy(dtype=object),
+                min_qa=min_qa, noise_dir=noise_dir, spike=spike,
+                spike_window=spike_window, sg_daywindow=sg_daywindow,
+                sg_polynom=sg_polynom, sg_n=sg_n,
+                max_extrapolation=max_extrapolation,
+            )
+        except Exception:
+            # degenerate series (too short / all-NaN): keep rows, NULL smooth
+            srt = np.lexsort((pdf["orbit"].to_numpy(dtype=object),
+                              pdf["sensor"].to_numpy(dtype=object), days))
+            out = {
+                "days": days[srt],
+                "sensor": pdf["sensor"].to_numpy(dtype=object)[srt],
+                "orbit": pdf["orbit"].to_numpy(dtype=object)[srt],
+                "qa": pdf["qa"].to_numpy(dtype=np.float64)[srt],
+                "rawval": pdf["value"].to_numpy(dtype=np.float64)[srt],
+                "value": np.full(len(days), np.nan),
+            }
+        return pd.DataFrame({
+            "id": pdf["id"].iloc[0],
+            "date": _dates_from_days(out["days"]),
+            "orbit": out["orbit"],
+            "sensor": out["sensor"],
+            "value": out["value"],
+            "qa": out["qa"],
+            "rawval": out["rawval"],
+        })
+
+    return obs.groupBy("id").applyInPandas(_fn, schema=SMOOTH_SCHEMA)
+
+
+def fill(smoothed: DataFrame, frequency: str = "daily",
+         max_na_days: float = float("inf"),
+         max_extrapolation: float = 0.1) -> DataFrame:
+    """obs_smoothed → obs_filled (regular grid + interpolated flag)."""
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = _days_from_dates(pdf["date"])
+        out = fill_series(
+            days,
+            pdf["value"].to_numpy(dtype=np.float64),
+            pdf["sensor"].to_numpy(dtype=object),
+            pdf["orbit"].to_numpy(dtype=object),
+            passthrough={
+                "qa": pdf["qa"].to_numpy(dtype=object),
+                "rawval": pdf["rawval"].to_numpy(dtype=object),
+            },
+            frequency=frequency, max_na_days=max_na_days,
+            max_extrapolation=max_extrapolation,
+        )
+        return pd.DataFrame({
+            "id": pdf["id"].iloc[0],
+            "date": _dates_from_days(out["days"]),
+            "orbit": out["orbit"],
+            "sensor": out["sensor"],
+            "value": out["value"],
+            "qa": pd.array(out["qa"], dtype="Float64"),
+            "rawval": pd.array(out["rawval"], dtype="Float64"),
+            "interpolated": out["interpolated"],
+        })
+
+    return smoothed.groupBy("id").applyInPandas(_fn, schema=FILL_SCHEMA)
+
+
+def cut_cycles(filled: DataFrame, **params) -> DataFrame:
+    """obs_filled → cycles (one row per detected cycle)."""
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        days = _days_from_dates(pdf["date"])
+        rows = cut_cycles_series(days, pdf["value"].to_numpy(dtype=np.float64),
+                                 **params)
+        return pd.DataFrame({
+            "id": pdf["id"].iloc[0],
+            "year": [r["year"] for r in rows],
+            "cycle": [r["cycle"] for r in rows],
+            "begin": _dates_from_days([r["begin"] for r in rows]),
+            "end": _dates_from_days([r["end"] for r in rows]),
+            "maxval": _dates_from_days([r["maxval"] for r in rows]),
+            "weight": [r["weight"] for r in rows],
+        })
+
+    return filled.groupBy("id").applyInPandas(_fn, schema=CYCLES_SCHEMA)
+
+
+def extract_pheno(filled: DataFrame, cycles: DataFrame, fit: str = "gu",
+                  method: str = "trs", trs: float = 0.5) -> DataFrame:
+    """(obs_filled ⋈ cycles) → pheno metrics per cycle.
+
+    The rescale is GLOBAL over the whole filled table (fit_curve.R:112 — NOT
+    per id, SURVEY.md §7 trap): computed as one Spark aggregate, broadcast
+    into the kernel closure. The cycle slice uses date ∈ [begin, end)
+    (fit_curve.R:146), so the output `end` is cycles.end − 1 day
+    (extract_pheno.R:104).
+    """
+    gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
+    rescale = (float(gmin), float(gmax) - float(gmin))
+
+    joined = filled.select("id", "date", "value").join(cycles, "id")
+    joined = joined.filter((F.col("date") >= F.col("begin"))
+                           & (F.col("date") < F.col("end")))
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date")
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        relval = (vals - rescale[0]) / rescale[1]
+        fitted = fit_gu(relval) if fit == "gu" else fake_fit(relval)
+        base = {
+            "id": pdf["id"].iloc[0], "year": int(pdf["year"].iloc[0]),
+            "cycle": int(pdf["cycle"].iloc[0]),
+            "begin": pdf["date"].iloc[0], "end": pdf["date"].iloc[-1],
+            "maxval": pdf["maxval"].iloc[0],
+            "weight": float(pdf["weight"].iloc[0]),
+        }
+        if fitted is None:
+            m = {k: float("nan") for k in
+                 ("sos", "eos", "los", "pop", "mgs", "rsp", "rau", "peak",
+                  "msp", "mau")}
+        elif method == "trs":
+            m = pheno_trs(fitted["predicted"], trs)
+        else:
+            m = pheno_deriv(fitted["predicted"], 1.0)
+        begin = base["begin"]
+        if hasattr(begin, "date"):
+            begin = begin.date() if not isinstance(begin, _dt.date) else begin
+
+        def _to_date(v):
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                return None
+            return begin + _dt.timedelta(days=int(round(v)) - 1)
+
+        return pd.DataFrame([{
+            **base,
+            "sos": _to_date(m["sos"]), "eos": _to_date(m["eos"]),
+            "los": None if np.isnan(m["los"]) else int(m["los"]),
+            "pop": _to_date(m["pop"]),
+            "mgs": rescale[0] + m["mgs"] * rescale[1],
+            "rsp": m["rsp"], "rau": m["rau"],
+            "peak": rescale[0] + m["peak"] * rescale[1],
+            "msp": rescale[0] + m["msp"] * rescale[1],
+            "mau": rescale[0] + m["mau"] * rescale[1],
+        }])
+
+    return joined.groupBy("id", "year", "cycle").applyInPandas(
+        _fn, schema=PHENO_SCHEMA)
