@@ -1,0 +1,120 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "total_sec", "value": <sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "points_per_sec": <rolled-up Gorilla points/sec, the north metric>, ...}
+
+Headline: the rollup service path (synthetic pages → extract → daily tier →
+Gorilla blobs) measured as rolled-up points/sec, plus representative operator
+queries on the driver tables at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_PAGES_URLS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def _pages_path(repo_root: str, n_urls: int, n_slots: int) -> str:
+    return os.path.join(repo_root, ".bench_cache", f"pages_{n_urls}x{n_slots}.parquet")
+
+
+def ensure_pages(spark, repo_root: str, n_urls: int, n_slots: int) -> str:
+    """Materialize the synthetic pages table once (generation excluded from
+    the timed path; the service benchmark starts at the parquet scan)."""
+    path = _pages_path(repo_root, n_urls, n_slots)
+    if not os.path.exists(path):
+        from sen2rts_spark.sources.pages import synth_pages
+        synth_pages(spark, n_urls=n_urls, n_slots=n_slots) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_rollup_pipeline(spark, pages_path: str) -> tuple[float, int]:
+    """The north metric: pages scan → extract → daily tier → Gorilla encode."""
+    from sen2rts_spark.operators.extract import extract_obs
+    from sen2rts_spark.operators.gorilla_sink import encode_blobs
+    from sen2rts_spark.operators.rollup import rollup_raw
+
+    t0 = time.time()
+    pages = spark.read.parquet(pages_path)
+    obs = extract_obs(pages).select(
+        "id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
+    daily = rollup_raw(obs, "daily")
+    blobs = encode_blobs(daily, "daily")
+    n_points = blobs.agg(F.sum("count")).first()[0] or 0
+    return time.time() - t0, int(n_points)
+
+
+BENCH_QUERIES = [
+    "weighted_mean",
+    "groupby_multi_agg",
+    "range_join_interval",
+    "topk_per_group",
+    "rollup_daily",
+    "rollup_tier_chain",
+    "gorilla_roundtrip_daily",
+    "fill_linear_daily",
+    "minhash_lsh_candidates",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "quality_score",
+]
+
+
+def main() -> None:
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_urls = int(os.environ.get("SPARK_GRAFT_PAGES_URLS", "3000"))
+    n_slots = 200
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from sen2rts_spark.queries import queries
+    from sen2rts_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = ensure_pages(spark, repo_root, n_urls, n_slots)
+
+    per_query: dict[str, float] = {}
+
+    # headline service path
+    roll_sec, n_points = bench_rollup_pipeline(spark, pages_path)
+    per_query["rollup_gorilla_pipeline"] = round(roll_sec, 3)
+
+    qs = queries()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # count() forces full execution without driver-side collect cost
+        df.count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    out = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "points_per_sec": round(n_points / roll_sec, 1) if roll_sec > 0 else 0,
+        "rolled_points": n_points,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

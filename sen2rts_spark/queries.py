@@ -1,0 +1,671 @@
+"""Operator-level query registry: Spark implementation + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2, exercised over
+the driver's testdata tables (TESTDATA.md). Each Spark callable takes
+(spark, sf_dir) and returns a DataFrame whose column names/aliases match the
+oracle SQL exactly (the driver compares sorted-by-name value hashes).
+
+Float discipline: any value produced by floating arithmetic whose summation
+order may differ between engines is ROUND()ed to 6 decimals on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+_QUERIES: dict = {}
+_ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def queries() -> dict:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# §2.2 projection / filter / predicates
+# --------------------------------------------------------------------------
+
+@register("filter_project", """
+SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+FROM lineitem WHERE l_discount > 0.05 AND l_quantity > 10
+""")
+def q_filter_project(spark, sf_dir):
+    # F1/F2/F4 (smooth_s2ts.R:102-104, extract_s2ts.R:417)
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") > 10))
+            .select("l_orderkey", "l_linenumber",
+                    F.col("l_extendedprice").alias("price")))
+
+
+@register("mmdd_window_wrap", """
+SELECT o_orderkey, o_orderdate
+FROM orders
+WHERE strftime(o_orderdate, '%m-%d') >= '11-15'
+   OR strftime(o_orderdate, '%m-%d') <= '02-15'
+""")
+def q_mmdd_window_wrap(spark, sf_dir):
+    # F5: wrapping month-day season window (assign_season.R:156-180)
+    o = load(spark, sf_dir, "orders")
+    mmdd = F.date_format("o_orderdate", "MM-dd")
+    return o.filter((mmdd >= "11-15") | (mmdd <= "02-15")) \
+        .select("o_orderkey", "o_orderdate")
+
+
+@register("dop_calendar", """
+SELECT event_id, ts FROM events
+WHERE (epoch(ts)::BIGINT // 86400) % 10 IN (0, 5)
+""")
+def q_dop_calendar(spark, sf_dir):
+    # C2: days-of-passage modulo rule (s2_dop_simpl.R:34-45)
+    e = load(spark, sf_dir, "events")
+    epoch_day = (F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    return e.filter(F.pmod(epoch_day, F.lit(10)).isin(0, 5)) \
+        .select("event_id", "ts")
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+@register("weighted_mean", """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * (l_quantity + 1e-9))
+             / SUM(l_quantity + 1e-9), 6) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_weighted_mean(spark, sf_dir):
+    # A1: qa-weighted mean with +1e-9 stabiliser (extract_s2ts.R:402-411)
+    li = load(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity") + F.lit(1e-9)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_extendedprice") * w) / F.sum(w), 6)
+        .alias("wavg_price"))
+
+
+@register("groupby_multi_agg", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q_groupby_multi_agg(spark, sf_dir):
+    # A3/A11: agg-fn-by-name fan-out (extract_s2ts.R:381, aggregate_pheno.R:95)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.count(F.lit(1)).alias("cnt"))
+
+
+@register("best_agg", """
+SELECT l_orderkey,
+       ROUND(AVG(l_extendedprice) FILTER (WHERE l_quantity = maxq), 6) AS best_price
+FROM (SELECT *, MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS maxq
+      FROM lineitem)
+GROUP BY l_orderkey
+""")
+def q_best_agg(spark, sf_dir):
+    # A2: mean of rows tied at max weight (extract_s2ts.R:406)
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (li.withColumn("maxq", F.max("l_quantity").over(w))
+            .groupBy("l_orderkey")
+            .agg(F.round(F.avg(F.when(F.col("l_quantity") == F.col("maxq"),
+                                      F.col("l_extendedprice"))), 6)
+                 .alias("best_price")))
+
+
+@register("global_rescale", """
+SELECT event_id,
+       ROUND((value - (SELECT MIN(value) FROM events))
+             / ((SELECT MAX(value) FROM events) - (SELECT MIN(value) FROM events)),
+             6) AS relval
+FROM events
+""")
+def q_global_rescale(spark, sf_dir):
+    # A5: GLOBAL (not per-id) min/range rescale (fit_curve.R:112-114)
+    e = load(spark, sf_dir, "events")
+    stats = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return (e.crossJoin(F.broadcast(stats))
+            .select("event_id",
+                    F.round((F.col("value") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")), 6).alias("relval")))
+
+
+@register("per_group_norm", """
+SELECT event_id,
+       ROUND((value - MIN(value) OVER (PARTITION BY user_id))
+             / NULLIF(MAX(value) OVER (PARTITION BY user_id)
+                      - MIN(value) OVER (PARTITION BY user_id), 0), 6) AS relval
+FROM events
+""")
+def q_per_group_norm(spark, sf_dir):
+    # C3/A4: per-id min-max normalisation (smooth_s2ts.R:98)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    rng = F.max("value").over(w) - F.min("value").over(w)
+    return e.select(
+        "event_id",
+        F.round((F.col("value") - F.min("value").over(w))
+                / F.nullif(rng, F.lit(0)), 6).alias("relval"))
+
+
+@register("clamp_extrapolation", """
+WITH b AS (SELECT user_id, MIN(value) AS mn, MAX(value) AS mx FROM events GROUP BY user_id)
+SELECT e.event_id,
+       ROUND(GREATEST(LEAST(e.value * 1.5, b.mx + 0.1 * (b.mx - b.mn)),
+                      b.mn - 0.1 * (b.mx - b.mn)), 6) AS clamped
+FROM events e JOIN b USING (user_id)
+""")
+def q_clamp_extrapolation(spark, sf_dir):
+    # C4: clamp to range ± 0.1·range (smooth_s2ts.R:223-226)
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("user_id").agg(F.min("value").alias("mn"),
+                                 F.max("value").alias("mx"))
+    j = e.join(F.broadcast(b), "user_id")
+    rng = F.col("mx") - F.col("mn")
+    return j.select(
+        "event_id",
+        F.round(F.greatest(F.least(F.col("value") * 1.5,
+                                   F.col("mx") + 0.1 * rng),
+                           F.col("mn") - 0.1 * rng), 6).alias("clamped"))
+
+
+@register("quantiles_t7", """
+SELECT event_type,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS q50,
+       ROUND(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS q75,
+       ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS q95
+FROM events GROUP BY event_type
+""")
+def q_quantiles_t7(spark, sf_dir):
+    # A8/A9: R type-7 quantiles == Spark percentile == duckdb quantile_cont
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("q95"))
+
+
+@register("quantile_type1", """
+SELECT event_type,
+       ROUND(CAST(quantile_disc(value, 0.5) AS DOUBLE), 6) AS q50_disc
+FROM events GROUP BY event_type
+""")
+def q_quantile_type1(spark, sf_dir):
+    # A7: R type-1 (inverted CDF) quantile via sorted array pick
+    # (cut_cycles.R:149) — quantile_disc in duckdb
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(
+            F.element_at(F.sort_array(F.collect_list("value")),
+                         F.ceil(F.count(F.lit(1)) * 0.5).cast("int")),
+            6).alias("q50_disc"))
+
+
+@register("rank_average_ties", """
+SELECT o_orderkey,
+       RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+       + (COUNT(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1) / 2.0
+       AS avg_rank
+FROM orders
+""")
+def q_rank_average_ties(spark, sf_dir):
+    # A10: R rank() average-ties (smooth_s2ts.R:205, cut_cycles.R:345)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wt = Window.partitionBy("o_orderpriority", "o_totalprice")
+    return o.select(
+        "o_orderkey",
+        (F.rank().over(w) + (F.count(F.lit(1)).over(wt) - 1) / 2.0)
+        .alias("avg_rank"))
+
+
+@register("dup_detect", """
+SELECT user_id, ts, COUNT(*) AS n
+FROM events GROUP BY user_id, ts HAVING COUNT(*) > 1
+""")
+def q_dup_detect(spark, sf_dir):
+    # A12: (id, date) uniqueness check (s2ts-class.R:208-214)
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id", "ts").agg(F.count(F.lit(1)).alias("n")) \
+        .filter(F.col("n") > 1)
+
+
+@register("gcd_date_diffs", """
+WITH d AS (
+  SELECT user_id,
+         (epoch(ts)::BIGINT // 86400)
+         - LAG(epoch(ts)::BIGINT // 86400)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dd
+  FROM events)
+SELECT user_id,
+       CAST(list_reduce(list(dd ORDER BY dd), (a, b) -> gcd(a, b)) AS BIGINT) AS g
+FROM d WHERE dd IS NOT NULL AND dd > 0 GROUP BY user_id
+""")
+def q_gcd_date_diffs(spark, sf_dir):
+    # A13: GCD of date diffs (fill_s2ts.R:52-58) — Euclid as a pandas kernel
+    import math as _math
+
+    import pandas as pd
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    d = e.select("user_id", (day - F.lag(day).over(w)).alias("dd")) \
+        .filter(F.col("dd").isNotNull() & (F.col("dd") > 0))
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = 0
+        for v in pdf["dd"]:
+            g = _math.gcd(g, int(v))
+        return pd.DataFrame([{"user_id": pdf["user_id"].iloc[0], "g": g}])
+
+    return d.groupBy("user_id").applyInPandas(_fn, "user_id bigint, g bigint")
+
+
+@register("agg_fanout_melt", """
+SELECT event_type, metric, ROUND(val, 6) AS val FROM (
+  SELECT event_type,
+         ROUND(AVG(value), 6) AS mean_v,
+         ROUND(MIN(value), 6) AS min_v,
+         ROUND(MAX(value), 6) AS max_v
+  FROM events GROUP BY event_type)
+UNPIVOT (val FOR metric IN (mean_v, min_v, max_v))
+""")
+def q_agg_fanout_melt(spark, sf_dir):
+    # A14: multi-fn fan-out + melt to long (aggregate_pheno.R:95-127)
+    e = load(spark, sf_dir, "events")
+    wide = e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"))
+    return wide.select(
+        "event_type",
+        F.expr("stack(3, 'mean_v', mean_v, 'min_v', min_v, 'max_v', max_v) "
+               "AS (metric, val)"))
+
+
+# --------------------------------------------------------------------------
+# §2.5 window functions
+# --------------------------------------------------------------------------
+
+@register("lag_diff", """
+SELECT event_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             6) AS diff
+FROM events
+""")
+def q_lag_diff(spark, sf_dir):
+    # W1: diff() per id (cut_cycles.R:141-143)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id",
+                    F.round(F.col("value") - F.lag("value").over(w), 6)
+                    .alias("diff"))
+
+
+@register("local_extrema", """
+WITH d AS (
+  SELECT event_id, user_id, value,
+         value - LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dl,
+         LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS dr
+  FROM events)
+SELECT event_id,
+       (dl > 0 AND dr <= 0) AS is_peak,
+       (COALESCE(dl < 0, TRUE) AND COALESCE(dr >= 0, TRUE)) AS is_cut
+FROM d
+""")
+def q_local_extrema(spark, sf_dir):
+    # W2/W3: local max (NA-blocked ends) vs local min (±Inf sentinel ends)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dl = F.col("value") - F.lag("value").over(w)
+    dr = F.lead("value").over(w) - F.col("value")
+    return e.select(
+        "event_id",
+        ((dl > 0) & (dr <= 0)).alias("is_peak"),
+        (F.coalesce(dl < 0, F.lit(True))
+         & F.coalesce(dr >= 0, F.lit(True))).alias("is_cut"))
+
+
+@register("rolling_mean_centered", """
+SELECT event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+       AS roll_mean
+FROM events
+""")
+def q_rolling_mean_centered(spark, sf_dir):
+    # W7: centered rolling mean (detect_forages.R:79)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(-2, 2)
+    return e.select("event_id",
+                    F.round(F.avg("value").over(w), 6).alias("roll_mean"))
+
+
+@register("row_number_per_group", """
+SELECT event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+""")
+def q_row_number_per_group(spark, sf_dir):
+    # W9/A11: seq_len(.N) per group (cut_cycles.R:289-291)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).alias("rn"))
+
+
+@register("lead_align_pairs", """
+SELECT user_id, ts AS begin_ts,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+FROM events WHERE event_type = 'signup'
+""")
+def q_lead_align_pairs(spark, sf_dir):
+    # W10/J5: align k-th with (k+1)-th cut (cut_cycles.R:293-299)
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("user_id", F.col("ts").alias("begin_ts"),
+                    F.lead("ts").over(w).alias("end_ts"))
+
+
+@register("topk_per_group", """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+""")
+def q_topk_per_group(spark, sf_dir):
+    # O2: top-k cycles per (id, year) by weight (cut_cycles.R:345-346)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                "o_orderkey")
+    return o.select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rk")).filter(F.col("rk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+@register("semi_join", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_semi_join(spark, sf_dir):
+    # J2/U2: left-semi row restore (smooth_s2ts.R:216-219)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+        .select("c_custkey", "c_name")
+
+
+@register("anti_join", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name")
+
+
+@register("full_outer_restore", """
+WITH agg AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey, a.o_custkey, a.n_orders
+FROM customer c FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+""")
+def q_full_outer_restore(spark, sf_dir):
+    # J1/J3: full-outer merge restoring dropped rows (smooth_s2ts.R:229)
+    c = load(spark, sf_dir, "customer")
+    a = load(spark, sf_dir, "orders").groupBy("o_custkey") \
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    return c.join(a, c.c_custkey == a.o_custkey, "full_outer") \
+        .select("c_custkey", "o_custkey", "n_orders")
+
+
+@register("grid_scaffold_join", """
+WITH bounds AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+  FROM events GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY user_id, CAST(ts AS DATE))
+SELECT g.user_id, g.day, COALESCE(d.n, 0) AS n
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""")
+def q_grid_scaffold_join(spark, sf_dir):
+    # J4/C1: generated daily scaffold + outer join (fill_s2ts.R:85-106)
+    e = load(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("dmin"), F.max(F.to_date("ts")).alias("dmax"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("dmin", "dmax",
+                             F.expr("INTERVAL 1 DAY"))).alias("day"))
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(daily, ["user_id", "day"], "left") \
+        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n"))
+
+
+@register("range_join_interval", """
+SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate
+FROM orders o JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+""")
+def q_range_join_interval(spark, sf_dir):
+    # J6: interval-containment as equi-join on id + range filter
+    # (aggregate_pheno.R:98-102; SURVEY §4.2.5)
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+    ).select("o_orderkey", "l_linenumber", "l_shipdate")
+
+
+@register("asof_nearest", """
+WITH s AS (SELECT user_id, ts AS sts, event_id AS sid FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts AS pts, event_id AS pid FROM events WHERE event_type = 'purchase')
+SELECT pid, sid FROM (
+  SELECT p.pid, s.sid,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY ABS(epoch(p.pts) - epoch(s.sts)), s.sid) AS rk
+  FROM p JOIN s ON p.user_id = s.user_id) WHERE rk = 1
+""")
+def q_asof_nearest(spark, sf_dir):
+    # J7: nearest-date proximity selection (assign_season.R:194-207)
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("sts"), F.col("event_id").alias("sid"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+    j = p.join(s, "user_id")
+    dist = F.abs(F.unix_timestamp("pts") - F.unix_timestamp("sts"))
+    w = Window.partitionBy("pid").orderBy(dist, "sid")
+    return j.select("pid", "sid", F.row_number().over(w).alias("rk")) \
+        .filter(F.col("rk") == 1).select("pid", "sid")
+
+
+@register("broadcast_dim_join", """
+SELECT n.n_name, COUNT(*) AS n_cust, ROUND(SUM(c.c_acctbal), 6) AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q_broadcast_dim_join(spark, sf_dir):
+    # small-dim broadcast join (SURVEY §4.1 join planning)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.round(F.sum("c_acctbal"), 6).alias("total_bal")))
+
+
+# --------------------------------------------------------------------------
+# §2.7-2.8 set ops / scalar functions
+# --------------------------------------------------------------------------
+
+@register("union_all_stages", """
+SELECT l_orderkey AS k, 'li' AS src FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT o_orderkey AS k, 'ord' AS src FROM orders WHERE o_orderstatus = 'F'
+""")
+def q_union_all_stages(spark, sf_dir):
+    # U1: rbindlist of stage outputs
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1) \
+        .select(F.col("l_orderkey").alias("k"), F.lit("li").alias("src"))
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_orderkey").alias("k"), F.lit("ord").alias("src"))
+    return li.unionByName(o)
+
+
+@register("date_arithmetic", """
+SELECT o_orderkey,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+       CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS due,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       strftime(o_orderdate, '%m-%d') AS mmdd
+FROM orders
+""")
+def q_date_arithmetic(spark, sf_dir):
+    # C1: datediff / date_add / year / date_format (fill_s2ts.R:89-92,
+    # extract_pheno.R:156-159)
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date"))
+        .alias("days_since"),
+        (F.to_date("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .cast("timestamp").alias("due"),
+        F.year("o_orderdate").alias("yr"),
+        F.date_format("o_orderdate", "MM-dd").alias("mmdd"))
+
+
+@register("scl_decode", """
+SELECT event_id,
+       CASE event_type WHEN 'view' THEN 1.0 WHEN 'click' THEN 0.66
+            WHEN 'signup' THEN 1.0 WHEN 'purchase' THEN 1.0
+            WHEN 'error' THEN 0.0 ELSE 0.33 END AS weight
+FROM events
+""")
+def q_scl_decode(spark, sf_dir):
+    # C5/C11: class → weight decode (scl_weights.R:40-86)
+    e = load(spark, sf_dir, "events")
+    wcol = (F.when(F.col("event_type") == "view", 1.0)
+            .when(F.col("event_type") == "click", 0.66)
+            .when(F.col("event_type") == "signup", 1.0)
+            .when(F.col("event_type") == "purchase", 1.0)
+            .when(F.col("event_type") == "error", 0.0)
+            .otherwise(0.33))
+    return e.select("event_id", wcol.alias("weight"))
+
+
+@register("piecewise_linear_combine", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(LEAST(
+         CASE WHEN l_discount * 100 <= 2 THEN 1.0 + (l_discount * 100) * (0.35 - 1.0) / 2
+              WHEN l_discount * 100 <= 8 THEN 0.35 + (l_discount * 100 - 2) * (0.05 - 0.35) / 6
+              ELSE 0.05 + (l_discount * 100 - 8) * (0.0 - 0.05) / 2 END,
+         CASE WHEN l_tax > 0.04 THEN 0.5 ELSE 1.0 END), 6) AS w
+FROM lineitem
+""")
+def q_piecewise_linear_combine(spark, sf_dir):
+    # C6/C7: piecewise-linear weight + min-combine (extract_s2ts.R:338-391)
+    li = load(spark, sf_dir, "lineitem")
+    c = F.col("l_discount") * 100
+    seg = (F.when(c <= 2, 1.0 + c * (0.35 - 1.0) / 2)
+           .when(c <= 8, 0.35 + (c - 2) * (0.05 - 0.35) / 6)
+           .otherwise(0.05 + (c - 8) * (0.0 - 0.05) / 2))
+    other = F.when(F.col("l_tax") > 0.04, 0.5).otherwise(1.0)
+    return li.select("l_orderkey", "l_linenumber",
+                     F.round(F.least(seg, other), 6).alias("w"))
+
+
+@register("string_functions", """
+SELECT c_custkey,
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS keystr,
+       REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_num
+FROM customer
+""")
+def q_string_functions(spark, sf_dir):
+    # C10: lpad / concat keys / regex extraction (extract_s2ts.R:150, load_s2paths.R:70)
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"),
+                 F.col("c_nationkey").cast("string")).alias("keystr"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"))
+
+
+@register("json_extract", """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+FROM events
+""")
+def q_json_extract(spark, sf_dir):
+    # C13: JSON field read (s2_dop_simpl.R:27-28)
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+@register("pivot_wide", """
+SELECT user_id,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0), 6) AS click,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'view'), 0), 6) AS view,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'), 0), 6) AS purchase
+FROM events GROUP BY user_id
+""")
+def q_pivot_wide(spark, sf_dir):
+    # §1.1 accessor semantics: dcast date ~ id (s2ts-class.R:289-308)
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.round(F.coalesce(F.sum(F.when(F.col("event_type") == "click",
+                                        F.col("value"))), F.lit(0.0)), 6)
+        .alias("click"),
+        F.round(F.coalesce(F.sum(F.when(F.col("event_type") == "view",
+                                        F.col("value"))), F.lit(0.0)), 6)
+        .alias("view"),
+        F.round(F.coalesce(F.sum(F.when(F.col("event_type") == "purchase",
+                                        F.col("value"))), F.lit(0.0)), 6)
+        .alias("purchase"))
+
+
+# Register the remaining query families (import side-effects populate the
+# registry). Placed at module end to avoid circular imports.
+from . import queries_ts  # noqa: E402,F401
+from . import queries_docs  # noqa: E402,F401

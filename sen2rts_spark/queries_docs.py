@@ -1,0 +1,425 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — over the ``documents`` and ``embeddings`` tables.
+
+Hash-based ops use md5() (identical hex output in Spark and DuckDB) so the
+oracles compare exactly; engine-specific hashes (murmur3) are avoided in
+oracled queries. SimHash (bit-level majority) is a pandas kernel → rows-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from .queries import load, register
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@register("dedup_exact", """
+SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .filter(F.col("n_copies") > 1))
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         list_distinct([lower(w3[i]) || ' ' || lower(w3[i+1]) || ' ' || lower(w3[i+2])
+                        for i in range(1, len(w3) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'), ' ') AS w0,
+               list_filter(string_split(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'), ' '),
+                           w -> w <> '') AS w3
+        FROM documents)
+  WHERE len(w3) >= 3
+"""
+
+
+@register("minhash_signature", f"""
+WITH shingles AS ({_SHINGLES_SQL})
+SELECT doc_id,
+       MIN(md5('s1' || s)) AS h1, MIN(md5('s2' || s)) AS h2,
+       MIN(md5('s3' || s)) AS h3, MIN(md5('s4' || s)) AS h4
+FROM (SELECT doc_id, UNNEST(sh) AS s FROM shingles)
+GROUP BY doc_id
+""")
+def q_minhash_signature(spark, sf_dir):
+    """MinHash over 3-word shingles: 4 salted md5 permutations (lexicographic
+    min of hex = min of the 128-bit hash value)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", " "), " "),
+        lambda w: w != "")
+    sh = d.select("doc_id", words.alias("w3")) \
+        .filter(F.size("w3") >= 3) \
+        .select("doc_id", F.array_distinct(F.expr(
+            "transform(sequence(0, size(w3) - 3), "
+            "i -> concat(lower(w3[i]), ' ', lower(w3[i+1]), ' ', lower(w3[i+2])))"
+        )).alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    return ex.groupBy("doc_id").agg(
+        F.min(F.md5(F.concat(F.lit("s1"), F.col("s")))).alias("h1"),
+        F.min(F.md5(F.concat(F.lit("s2"), F.col("s")))).alias("h2"),
+        F.min(F.md5(F.concat(F.lit("s3"), F.col("s")))).alias("h3"),
+        F.min(F.md5(F.concat(F.lit("s4"), F.col("s")))).alias("h4"))
+
+
+@register("minhash_lsh_candidates", f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         MIN(md5('s1' || s)) AS h1, MIN(md5('s2' || s)) AS h2,
+         MIN(md5('s3' || s)) AS h3, MIN(md5('s4' || s)) AS h4
+  FROM (SELECT doc_id, UNNEST(sh) AS s FROM shingles) GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, h1 || h2 AS band FROM sig
+  UNION ALL
+  SELECT doc_id, h3 || h4 AS band FROM sig)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""")
+def q_minhash_lsh_candidates(spark, sf_dir):
+    """LSH banding: 2 bands × 2 rows; candidate pairs share a band bucket.
+    The band self-join is on the band hash — at scale this is the shuffle
+    key (bucket join), never a cross join."""
+    sig = q_minhash_signature(spark, sf_dir)
+    b1 = sig.select("doc_id", F.concat("h1", "h2").alias("band"))
+    b2 = sig.select("doc_id", F.concat("h3", "h4").alias("band"))
+    bands = b1.unionByName(b2)
+    other = bands.select(F.col("doc_id").alias("doc_b"),
+                         F.col("band").alias("band_b"))
+    return (bands.join(other, (F.col("band") == F.col("band_b"))
+                       & (F.col("doc_id") < F.col("doc_b")))
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct())
+
+
+@register("ngram_jaccard_pairs", f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+  FROM shingles a
+  JOIN documents da ON a.doc_id = da.doc_id
+  JOIN shingles b
+  JOIN documents db ON b.doc_id = db.doc_id
+   ON a.doc_id < b.doc_id AND da.source = db.source)
+SELECT doc_a, doc_b, ROUND(inter * 1.0 / uni, 6) AS jaccard
+FROM pairs WHERE inter * 1.0 / uni >= 0.2
+""")
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup within the same source bucket (the blocking
+    key bounds the join — no cross join at scale)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", " "), " "),
+        lambda w: w != "")
+    sh = d.select("doc_id", "source", words.alias("w3")) \
+        .filter(F.size("w3") >= 3) \
+        .select("doc_id", "source", F.array_distinct(F.expr(
+            "transform(sequence(0, size(w3) - 3), "
+            "i -> concat(lower(w3[i]), ' ', lower(w3[i+1]), ' ', lower(w3[i+2])))"
+        )).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src"),
+                  F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("source").alias("src_b"), F.col("sh").alias("shb"))
+    j = a.join(b, (F.col("src") == F.col("src_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    uni = F.size("sha") + F.size("shb") - inter
+    jac = inter / uni
+    return j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")) \
+        .filter(jac >= 0.2)
+
+
+@register("simhash_64")
+def q_simhash_64(spark, sf_dir):
+    """64-bit SimHash per document (bit-majority over md5-derived token
+    hashes). Bit arithmetic on 64-bit lanes → vectorized pandas kernel;
+    no portable SQL → rows-only check."""
+    import hashlib
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _fn(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in text.lower().split() if t]
+                if not toks:
+                    out.append((doc_id, 0))
+                    continue
+                hs = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+                    dtype=">u8")
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+                votes = bits.sum(axis=0) * 2 >= len(hs)
+                sim = int(np.sum(votes.astype(np.uint64)
+                                 << np.arange(64, dtype=np.uint64)))
+                out.append((doc_id, sim - (1 << 64) if sim >= (1 << 63) else sim))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return d.mapInPandas(_fn, "doc_id long, simhash long")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@register("token_count", """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+       length(text) AS n_chars_m
+FROM documents
+""")
+def q_token_count(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    return d.select("doc_id", F.size(toks).alias("n_tokens"),
+                    F.length("text").alias("n_chars_m"))
+
+
+@register("quality_score", """
+SELECT doc_id,
+       ROUND(LEAST(length(text) / 500.0, 1.0) * 0.5
+           + (1.0 - LEAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                          * 1.0 / NULLIF(length(text), 0), 1.0)) * 0.3
+           + LEAST((length(text) - length(replace(lower(text), ' the ', 'xxxxx')))
+                   / 5.0 / 10.0, 1.0) * 0.2, 6) AS quality
+FROM documents
+""")
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length + punctuation-ratio + stopword-density mix."""
+    d = load(spark, sf_dir, "documents")
+    length = F.length("text")
+    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9 ]", ""))
+    the_cnt = (length - F.length(F.replace(F.lower(F.col("text")),
+                                           F.lit(" the "), F.lit("xxxxx")))) / 5.0
+    score = (F.least(length / 500.0, F.lit(1.0)) * 0.5
+             + (1.0 - F.least(punct / F.nullif(length.cast("double"), F.lit(0.0)),
+                              F.lit(1.0))) * 0.3
+             + F.least(the_cnt / 10.0, F.lit(1.0)) * 0.2)
+    return d.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+@register("lang_id_heuristic", """
+WITH scores AS (
+  SELECT doc_id, lang,
+         (length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5
+       + (length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 AS en_score,
+         (length(lower(text)) - length(replace(lower(text), ' der ', ''))) / 5
+       + (length(lower(text)) - length(replace(lower(text), ' und ', ''))) / 5 AS de_score,
+         (length(lower(text)) - length(replace(lower(text), ' le ', ''))) / 4
+       + (length(lower(text)) - length(replace(lower(text), ' et ', ''))) / 4 AS fr_score
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+            WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+            WHEN fr_score > 0 THEN 'fr'
+            ELSE 'unknown' END AS lang_pred
+FROM scores
+""")
+def q_lang_id_heuristic(spark, sf_dir):
+    """Language-ID by stopword densities (n-gram heuristic)."""
+    d = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+
+    def cnt(pat):
+        return (F.length(low) - F.length(F.replace(low, F.lit(pat), F.lit("")))) \
+            / len(pat)
+
+    en = cnt(" the ") + cnt(" and ")
+    de = cnt(" der ") + cnt(" und ")
+    fr = cnt(" le ") + cnt(" et ")
+    pred = (F.when((en >= de) & (en >= fr) & (en > 0), "en")
+            .when((de >= fr) & (de > 0), "de")
+            .when(fr > 0, "fr")
+            .otherwise("unknown"))
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@register("doc_fingerprint", """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16) AS fp
+FROM documents
+""")
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_DOT = ("aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+_NQ = ("sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), "
+       "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+_NE = ("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+       "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+
+
+@register("ann_cosine_topk", """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_dot_product(q.qe, e.embedding)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+SELECT qid, vec_id, sim FROM (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM sims) WHERE rk <= 5
+""")
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exactness baseline for ANN).
+
+    The query side is tiny → broadcast; the scan side streams. JVM-side
+    higher-order functions do the fold — no Python in the hot path.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    j = F.broadcast(q).join(e, F.col("vec_id") != F.col("qid"))
+    sim = F.round(
+        F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    sims = j.select("qid", "vec_id", sim.alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return sims.select("qid", "vec_id", "sim",
+                       F.row_number().over(w).alias("rk")) \
+        .filter(F.col("rk") <= 5).select("qid", "vec_id", "sim")
+
+
+@register("ann_lsh_bucketed")
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """Scale path: random-hyperplane LSH — embeddings hashed into sign
+    buckets by 8 deterministic pseudo-hyperplanes; neighbors searched within
+    the bucket only (bucket = shuffle key). Rows-only check (float sign
+    boundaries are engine-sensitive)."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def _fn(batches):
+        rng = np.random.default_rng(7)
+        planes = rng.standard_normal((8, 64))
+        for pdf in batches:
+            emb = np.stack(pdf["embedding"].to_numpy())
+            signs = (emb @ planes.T) >= 0
+            bucket = (signs * (1 << np.arange(8))).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "bucket": bucket.astype(np.int64)})
+
+    buckets = e.mapInPandas(_fn, "vec_id long, bucket long")
+    withb = e.join(buckets, "vec_id")
+    a = withb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                     "bucket")
+    b = withb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+                     F.col("bucket").alias("bucket_b"))
+    j = a.join(b, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("va") < F.col("vb")))
+    dot = ("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    na = ("sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    nb = ("sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    sim = F.expr(dot) / (F.expr(na) * F.expr(nb))
+    return j.select("va", "vb", F.round(sim, 4).alias("sim"), "bucket") \
+        .filter(F.col("sim") > 0.5)
+
+
+@register("embedding_norms", """
+SELECT vec_id, label,
+       ROUND(sqrt(list_dot_product(embedding, embedding)), 4) AS l2norm
+FROM embeddings
+""")
+def q_embedding_norms(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+    return e.select("vec_id", "label", F.round(nrm, 4).alias("l2norm"))
+
+
+@register("label_centroid_distance", """
+WITH un AS (
+  SELECT vec_id, label,
+         UNNEST(embedding) AS x,
+         UNNEST(range(1, len(embedding) + 1)) AS i
+  FROM embeddings),
+cent AS (
+  SELECT label, i, AVG(CAST(x AS DOUBLE)) AS c FROM un GROUP BY label, i)
+SELECT u.vec_id, u.label,
+       ROUND(sqrt(SUM((CAST(u.x AS DOUBLE) - c.c) ** 2)), 4) AS dist
+FROM un u JOIN cent c ON u.label = c.label AND u.i = c.i
+GROUP BY u.vec_id, u.label
+""")
+def q_label_centroid_distance(spark, sf_dir):
+    """IVF building block: per-label centroid + distance of each member."""
+    e = load(spark, sf_dir, "embeddings")
+    dim = 64
+    cent = e.groupBy("label").agg(*[
+        F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+        for i in range(dim)])
+    j = e.join(F.broadcast(cent), "label")
+    dist = F.sqrt(sum(
+        (F.col("embedding")[i].cast("double") - F.col(f"c{i}")) ** 2
+        for i in range(dim)))
+    return j.select("vec_id", "label", F.round(dist, 4).alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + typed metadata; decode stubbed)
+# --------------------------------------------------------------------------
+
+@register("media_metadata", """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, lang,
+       substr(md5(text), 1, 8) AS content_key
+FROM documents
+""")
+def q_media_metadata(spark, sf_dir):
+    """Opaque binary payload + typed metadata columns (the multimodal model:
+    media as BinaryType, schema-side metadata)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        "lang",
+        F.substring(F.md5("text"), 1, 8).alias("content_key"))
+
+
+@register("media_feature_extract")
+def q_media_feature_extract(spark, sf_dir):
+    """Decode/feature-extract over binary media via mapInPandas.
+
+    The actual image/audio decode is STUBBED (no codec libs in this
+    environment) with a deterministic byte-histogram 'feature'; the Spark
+    plumbing — binary column in, fixed-width feature vector out, Arrow
+    batching, schema declaration — is real and is what's under test.
+    """
+    d = load(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def _fn(batches):
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # STUB: stands in for image decode + pooling; deterministic
+                hist = np.bincount(buf % 16, minlength=16).astype(np.float64)
+                feats.append((hist / max(buf.size, 1)).round(6).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return d.mapInPandas(_fn, "doc_id long, feature array<double>")
