@@ -43,6 +43,29 @@ _SHINGLES_SQL = """
 """
 
 
+def _shingle_rows(spark, sf_dir):
+    """(doc_id, source, s) — distinct 3-word shingles, one row each.
+
+    Tokenization happens ONCE per document (posexplode), shingles come from
+    lead() windows — NOT from array[i] accesses inside transform(), which
+    Catalyst's CollapseProject would inline into a re-tokenization per
+    element (measured 20x slower at sf0.1).
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", " "), " "),
+        lambda w: w != "")
+    ex = d.select("doc_id", "source", F.posexplode(words).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = ex.select(
+        "doc_id", "source",
+        F.concat_ws(" ", F.lower("w"),
+                    F.lower(F.lead("w", 1).over(win)),
+                    F.lower(F.lead("w", 2).over(win))).alias("s"),
+        F.lead("w", 2).over(win).alias("_w2"))
+    return sh.filter(F.col("_w2").isNotNull()).drop("_w2").distinct()
+
+
 @register("minhash_signature", f"""
 WITH shingles AS ({_SHINGLES_SQL})
 SELECT doc_id,
@@ -54,17 +77,7 @@ GROUP BY doc_id
 def q_minhash_signature(spark, sf_dir):
     """MinHash over 3-word shingles: 4 salted md5 permutations (lexicographic
     min of hex = min of the 128-bit hash value)."""
-    d = load(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", " "), " "),
-        lambda w: w != "")
-    sh = d.select("doc_id", words.alias("w3")) \
-        .filter(F.size("w3") >= 3) \
-        .select("doc_id", F.array_distinct(F.expr(
-            "transform(sequence(0, size(w3) - 3), "
-            "i -> concat(lower(w3[i]), ' ', lower(w3[i+1]), ' ', lower(w3[i+2])))"
-        )).alias("sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    ex = _shingle_rows(spark, sf_dir)
     return ex.groupBy("doc_id").agg(
         F.min(F.md5(F.concat(F.lit("s1"), F.col("s")))).alias("h1"),
         F.min(F.md5(F.concat(F.lit("s2"), F.col("s")))).alias("h2"),
@@ -90,8 +103,9 @@ GROUP BY a.doc_id, b.doc_id
 def q_minhash_lsh_candidates(spark, sf_dir):
     """LSH banding: 2 bands × 2 rows; candidate pairs share a band bucket.
     The band self-join is on the band hash — at scale this is the shuffle
-    key (bucket join), never a cross join."""
-    sig = q_minhash_signature(spark, sf_dir)
+    key (bucket join), never a cross join. The signature is persisted so the
+    two band projections and both join sides don't recompute the shingling."""
+    sig = q_minhash_signature(spark, sf_dir).persist()
     b1 = sig.select("doc_id", F.concat("h1", "h2").alias("band"))
     b2 = sig.select("doc_id", F.concat("h3", "h4").alias("band"))
     bands = b1.unionByName(b2)
@@ -120,22 +134,20 @@ FROM pairs WHERE inter * 1.0 / uni >= 0.2
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup within the same source bucket (the blocking
     key bounds the join — no cross join at scale)."""
-    d = load(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", " "), " "),
-        lambda w: w != "")
-    sh = d.select("doc_id", "source", words.alias("w3")) \
-        .filter(F.size("w3") >= 3) \
-        .select("doc_id", "source", F.array_distinct(F.expr(
-            "transform(sequence(0, size(w3) - 3), "
-            "i -> concat(lower(w3[i]), ' ', lower(w3[i+1]), ' ', lower(w3[i+2])))"
-        )).alias("sh"))
+    sh = _shingle_rows(spark, sf_dir) \
+        .groupBy("doc_id", "source").agg(F.collect_set("s").alias("sh")) \
+        .persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src"),
                   F.col("sh").alias("sha"))
     b = sh.select(F.col("doc_id").alias("doc_b"),
                   F.col("source").alias("src_b"), F.col("sh").alias("shb"))
+    # size-ratio prefilter: J >= 0.2 implies |A|/|B| in [0.2, 5], so the
+    # bound prunes pairs BEFORE the expensive intersect without changing
+    # the result set (|A∩B| <= min(|A|,|B|) => J <= min/max)
     j = a.join(b, (F.col("src") == F.col("src_b"))
-               & (F.col("doc_a") < F.col("doc_b")))
+               & (F.col("doc_a") < F.col("doc_b"))
+               & (F.size("sha") <= 5 * F.size("shb"))
+               & (F.size("shb") <= 5 * F.size("sha")))
     inter = F.size(F.array_intersect("sha", "shb"))
     uni = F.size("sha") + F.size("shb") - inter
     jac = inter / uni

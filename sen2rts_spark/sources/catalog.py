@@ -58,7 +58,7 @@ class Catalog:
     def completed_buckets(self, stage: str) -> list[int]:
         lin = self.lineage().filter((F.col("stage") == stage)
                                     & (F.col("status") == "ok"))
-        return [r["bucket"] for r in lin.select("bucket").distinct().collect()]
+        return sorted(r["bucket"] for r in lin.select("bucket").distinct().collect())
 
     # -- write / resume ----------------------------------------------------
     def write_stage(self, df: DataFrame, table: str, id_col: str = "id",

@@ -1,0 +1,60 @@
+"""Checkpoint/resume: a mid-stage kill restarted with resume=True must
+produce byte-identical table contents to a clean run (SURVEY §5.2.5)."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+
+def _daily(spark):
+    from sen2rts_spark.operators.extract import extract_obs
+    from sen2rts_spark.operators.rollup import rollup_raw
+    from sen2rts_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, n_urls=40, n_slots=30)
+    obs = extract_obs(pages).select(
+        "id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
+    return rollup_raw(obs, "daily")
+
+
+def _snapshot(spark, cat, table):
+    df = cat.read_stage(table)
+    return sorted(
+        tuple(r) for r in df.select("id", "bucket_start", "count", "value",
+                                    "vmin", "vmax").collect())
+
+
+def test_kill_restart_byte_identical(spark, tmp_path_factory):
+    from sen2rts_spark.sources.catalog import Catalog
+
+    base = str(tmp_path_factory.mktemp("cat"))
+    daily = _daily(spark)
+    daily.cache()
+
+    # clean run
+    clean = Catalog(spark, os.path.join(base, "clean"), n_buckets=8)
+    res = clean.write_stage(daily, "tier_daily")
+    assert res["rows"] > 0 and len(res["written_buckets"]) == 8
+
+    # killed run: only half the buckets committed, then "crash"
+    crash = Catalog(spark, os.path.join(base, "crash"), n_buckets=8)
+    partial = crash.write_stage(daily, "tier_daily", only_buckets=[0, 1, 2, 3])
+    assert partial["written_buckets"] == [0, 1, 2, 3]
+    assert crash.completed_buckets("tier_daily") == [0, 1, 2, 3]
+
+    # restart with resume: completes ONLY the missing buckets
+    resumed = crash.write_stage(daily, "tier_daily", resume=True)
+    assert resumed["written_buckets"] == [4, 5, 6, 7]
+
+    # identical contents
+    assert _snapshot(spark, crash, "tier_daily") == \
+        _snapshot(spark, clean, "tier_daily")
+
+    # second resume is a no-op (idempotent)
+    again = crash.write_stage(daily, "tier_daily", resume=True)
+    assert again["written_buckets"] == [] and again["rows"] == 0
+
+    # lineage metrics exist per stage
+    m = {r["stage"]: r for r in crash.metrics().collect()}
+    assert m["tier_daily"]["buckets"] == 8
+    shutil.rmtree(base, ignore_errors=True)

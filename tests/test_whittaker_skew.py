@@ -1,0 +1,50 @@
+"""Whittaker smoother properties + salted rollup equivalence."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def test_whittaker_reproduces_eilers_system():
+    from sen2rts_spark.kernels.whittaker import whittaker_smooth
+    rng = np.random.default_rng(0)
+    n = 200
+    t = np.arange(n)
+    y = np.sin(t / 20.0) + rng.normal(0, 0.1, n)
+    w = np.ones(n)
+    lam = 50.0
+    z = whittaker_smooth(y, w, lam)
+    # verify against the dense normal-equation solution
+    D = np.diff(np.eye(n), 2, axis=0)
+    A = np.diag(w) + lam * D.T @ D
+    z_dense = np.linalg.solve(A, w * y)
+    np.testing.assert_allclose(z, z_dense, atol=1e-9)
+    # smoother than input
+    assert np.sum(np.diff(z, 2) ** 2) < np.sum(np.diff(y, 2) ** 2)
+
+
+def test_whittaker_missing_and_constant():
+    from sen2rts_spark.kernels.whittaker import whittaker_smooth
+    y = np.full(50, 0.7)
+    np.testing.assert_allclose(whittaker_smooth(y, lam=10), y, atol=1e-10)
+    y2 = y.copy()
+    y2[10:15] = np.nan
+    z = whittaker_smooth(y2, lam=10)
+    np.testing.assert_allclose(z, 0.7, atol=1e-8)  # interpolates the gap
+
+
+def test_salted_rollup_equals_plain(spark):
+    from sen2rts_spark.operators.extract import extract_obs
+    from sen2rts_spark.operators.rollup import rollup_raw
+    from sen2rts_spark.operators.skew import salted_rollup_raw
+    from sen2rts_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, n_urls=30, n_slots=40, dup_pct=25)
+    obs = extract_obs(pages).select(
+        "id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
+    plain = {(r["id"], r["bucket_start"]): (r["count"], round(r["value"], 9),
+                                            r["vmin"], r["vmax"])
+             for r in rollup_raw(obs, "daily").collect()}
+    salted = {(r["id"], r["bucket_start"]): (r["count"], round(r["value"], 9),
+                                             r["vmin"], r["vmax"])
+              for r in salted_rollup_raw(obs, 86400).collect()}
+    assert plain == salted
