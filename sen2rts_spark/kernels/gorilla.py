@@ -49,13 +49,13 @@ class _BitReader:
         self.pos = 0
 
     def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            bit = (byte >> (7 - (self.pos & 7))) & 1
-            out = (out << 1) | bit
-            self.pos += 1
-        return out
+        # O(bits/8) slice extraction instead of per-bit looping
+        start = self.pos >> 3
+        end = (self.pos + bits + 7) >> 3
+        chunk = int.from_bytes(self.data[start:end], "big")
+        tail = (end << 3) - (self.pos + bits)
+        self.pos += bits
+        return (chunk >> tail) & ((1 << bits) - 1)
 
 
 def _clz64(x: int) -> int:

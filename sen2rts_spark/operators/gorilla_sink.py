@@ -24,28 +24,69 @@ BLOB_SCHEMA = ("id string, tier string, chunk_start timestamp, blob binary, "
                "count int, min_ts timestamp, max_ts timestamp")
 
 
-def encode_blobs(tier_df: DataFrame, tier: str, chunk_days: int = 366) -> DataFrame:
-    """Rollup tier → one Gorilla blob per (id, chunk_days window)."""
+def encode_blobs(tier_df: DataFrame, tier: str, chunk_days: int = 366,
+                 num_partitions: int | None = None) -> DataFrame:
+    """Rollup tier → one Gorilla blob per (id, chunk_days window).
+
+    Hash-partitioned on (id, chunk), sorted within partitions, then a single
+    mapInPandas pass walks group runs on raw numpy arrays — no per-group
+    pandas objects, one Arrow batch out per batch in (the applyInPandas
+    per-group dispatch was ~15x slower at 3000 series, see operators/grouped.py).
+    """
     chunk_secs = chunk_days * 86400
-
-    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_start")
-        ts = (pdf["bucket_start"].astype("int64") // 10 ** 9).to_numpy()
-        vals = pdf["value"].to_numpy(dtype=np.float64)
-        blob = gorilla_encode(ts, vals)
-        return pd.DataFrame([{
-            "id": pdf["id"].iloc[0],
-            "tier": tier,
-            "chunk_start": pdf["chunk"].iloc[0],
-            "blob": blob,
-            "count": len(ts),
-            "min_ts": pdf["bucket_start"].iloc[0],
-            "max_ts": pdf["bucket_start"].iloc[-1],
-        }])
-
     with_chunk = tier_df.withColumn(
         "chunk", F.window("bucket_start", f"{chunk_secs} seconds")["start"])
-    return with_chunk.groupBy("id", "chunk").applyInPandas(_fn, schema=BLOB_SCHEMA)
+    parts = num_partitions or tier_df.sparkSession.sparkContext.defaultParallelism
+    arranged = with_chunk.select("id", "chunk", "bucket_start", "value") \
+        .repartition(parts, "id", "chunk") \
+        .sortWithinPartitions("id", "chunk", "bucket_start")
+
+    def _stream(batches):
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            ids = pdf["id"].to_numpy()
+            chunks = pdf["chunk"].to_numpy()
+            ts = (pdf["bucket_start"].to_numpy().astype("datetime64[s]")
+                  .astype(np.int64))
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            n = len(ids)
+            change = np.concatenate(
+                ([True], (ids[1:] != ids[:-1]) | (chunks[1:] != chunks[:-1])))
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [n]))
+            out = {"id": [], "tier": [], "chunk_start": [], "blob": [],
+                   "count": [], "min_ts": [], "max_ts": []}
+            # hold the last run back — it may continue in the next batch
+            for s, e in zip(starts[:-1], ends[:-1]):
+                out["id"].append(ids[s])
+                out["tier"].append(tier)
+                out["chunk_start"].append(chunks[s])
+                out["blob"].append(gorilla_encode(ts[s:e], vals[s:e]))
+                out["count"].append(e - s)
+                out["min_ts"].append(pdf["bucket_start"].iloc[s])
+                out["max_ts"].append(pdf["bucket_start"].iloc[e - 1])
+            carry = pdf.iloc[starts[-1]:].copy()
+            if out["id"]:
+                yield pd.DataFrame(out)
+        if carry is not None and len(carry):
+            ts = (carry["bucket_start"].to_numpy().astype("datetime64[s]")
+                  .astype(np.int64))
+            vals = carry["value"].to_numpy(dtype=np.float64)
+            yield pd.DataFrame({
+                "id": [carry["id"].iloc[0]], "tier": [tier],
+                "chunk_start": [carry["chunk"].iloc[0]],
+                "blob": [gorilla_encode(ts, vals)],
+                "count": [len(ts)],
+                "min_ts": [carry["bucket_start"].iloc[0]],
+                "max_ts": [carry["bucket_start"].iloc[-1]],
+            })
+
+    return arranged.mapInPandas(_stream, schema=BLOB_SCHEMA)
 
 
 def decode_blobs(blobs: DataFrame) -> DataFrame:
@@ -54,10 +95,10 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
     def _fn(batches):
         for pdf in batches:
             ids, tiers, ts_all, vals_all = [], [], [], []
-            for _, row in pdf.iterrows():
-                ts, vals = gorilla_decode(bytes(row["blob"]))
-                ids.extend([row["id"]] * len(ts))
-                tiers.extend([row["tier"]] * len(ts))
+            for rid, rtier, rblob in zip(pdf["id"], pdf["tier"], pdf["blob"]):
+                ts, vals = gorilla_decode(bytes(rblob))
+                ids.extend([rid] * len(ts))
+                tiers.extend([rtier] * len(ts))
                 ts_all.append(ts)
                 vals_all.append(vals)
             yield pd.DataFrame({

@@ -92,7 +92,8 @@ def smooth(obs: DataFrame, min_qa: float = 0.2, noise_dir: str = "low",
             "rawval": out["rawval"],
         })
 
-    return obs.groupBy("id").applyInPandas(_fn, schema=SMOOTH_SCHEMA)
+    from .grouped import grouped_apply
+    return grouped_apply(obs, ["id"], _fn, SMOOTH_SCHEMA)
 
 
 def fill(smoothed: DataFrame, frequency: str = "daily",
@@ -125,7 +126,8 @@ def fill(smoothed: DataFrame, frequency: str = "daily",
             "interpolated": out["interpolated"],
         })
 
-    return smoothed.groupBy("id").applyInPandas(_fn, schema=FILL_SCHEMA)
+    from .grouped import grouped_apply
+    return grouped_apply(smoothed, ["id"], _fn, FILL_SCHEMA)
 
 
 def cut_cycles(filled: DataFrame, **params) -> DataFrame:
@@ -135,6 +137,8 @@ def cut_cycles(filled: DataFrame, **params) -> DataFrame:
         days = _days_from_dates(pdf["date"])
         rows = cut_cycles_series(days, pdf["value"].to_numpy(dtype=np.float64),
                                  **params)
+        if not rows:
+            return None
         return pd.DataFrame({
             "id": pdf["id"].iloc[0],
             "year": [r["year"] for r in rows],
@@ -145,7 +149,8 @@ def cut_cycles(filled: DataFrame, **params) -> DataFrame:
             "weight": [r["weight"] for r in rows],
         })
 
-    return filled.groupBy("id").applyInPandas(_fn, schema=CYCLES_SCHEMA)
+    from .grouped import grouped_apply
+    return grouped_apply(filled, ["id"], _fn, CYCLES_SCHEMA)
 
 
 def extract_pheno(filled: DataFrame, cycles: DataFrame, fit: str = "gu",
@@ -206,5 +211,6 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit: str = "gu",
             "mau": rescale[0] + m["mau"] * rescale[1],
         }])
 
-    return joined.groupBy("id", "year", "cycle").applyInPandas(
-        _fn, schema=PHENO_SCHEMA)
+    from .grouped import grouped_apply
+    return grouped_apply(joined, ["id", "year", "cycle"], _fn, PHENO_SCHEMA,
+                         order=["date"])
