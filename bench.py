@@ -33,7 +33,9 @@ def ensure_pages(spark, repo_root: str, n_urls: int, n_slots: int) -> str:
     path = _pages_path(repo_root, n_urls, n_slots)
     if not os.path.exists(path):
         from sen2rts_spark.sources.pages import synth_pages
-        synth_pages(spark, n_urls=n_urls, n_slots=n_slots) \
+        # ≥64 output files: parquet splits at row-group granularity, so the
+        # file/row-group count caps scan parallelism for every consumer
+        synth_pages(spark, n_urls=n_urls, n_slots=n_slots, partitions=64) \
             .write.mode("overwrite").parquet(path)
     return path
 

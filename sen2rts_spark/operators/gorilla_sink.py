@@ -41,52 +41,74 @@ def encode_blobs(tier_df: DataFrame, tier: str, chunk_days: int = 366,
         .repartition(parts, "id", "chunk") \
         .sortWithinPartitions("id", "chunk", "bucket_start")
 
+    import pyarrow as pa
+
+    out_type = pa.schema([
+        ("id", pa.string()), ("tier", pa.string()),
+        ("chunk_start", pa.timestamp("us")), ("blob", pa.binary()),
+        ("count", pa.int32()), ("min_ts", pa.timestamp("us")),
+        ("max_ts", pa.timestamp("us")),
+    ])
+
     def _stream(batches):
-        carry = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            ids = pdf["id"].to_numpy()
-            chunks = pdf["chunk"].to_numpy()
-            ts = (pdf["bucket_start"].to_numpy().astype("datetime64[s]")
-                  .astype(np.int64))
-            vals = pdf["value"].to_numpy(dtype=np.float64)
+        # mapInArrow: zero-copy numpy views of the Arrow columns — the
+        # Arrow→pandas conversion alone cost ~1 s per 150k-row task
+        carry = None  # (ids, chunks_us, ts_us, vals) numpy arrays
+        def emit(ids, chunks, ts_us, vals, hold_last):
             n = len(ids)
             change = np.concatenate(
                 ([True], (ids[1:] != ids[:-1]) | (chunks[1:] != chunks[:-1])))
             starts = np.flatnonzero(change)
             ends = np.concatenate((starts[1:], [n]))
-            out = {"id": [], "tier": [], "chunk_start": [], "blob": [],
-                   "count": [], "min_ts": [], "max_ts": []}
-            # hold the last run back — it may continue in the next batch
-            for s, e in zip(starts[:-1], ends[:-1]):
-                out["id"].append(ids[s])
-                out["tier"].append(tier)
-                out["chunk_start"].append(chunks[s])
-                out["blob"].append(gorilla_encode(ts[s:e], vals[s:e]))
-                out["count"].append(e - s)
-                out["min_ts"].append(pdf["bucket_start"].iloc[s])
-                out["max_ts"].append(pdf["bucket_start"].iloc[e - 1])
-            carry = pdf.iloc[starts[-1]:].copy()
-            if out["id"]:
-                yield pd.DataFrame(out)
-        if carry is not None and len(carry):
-            ts = (carry["bucket_start"].to_numpy().astype("datetime64[s]")
-                  .astype(np.int64))
-            vals = carry["value"].to_numpy(dtype=np.float64)
-            yield pd.DataFrame({
-                "id": [carry["id"].iloc[0]], "tier": [tier],
-                "chunk_start": [carry["chunk"].iloc[0]],
-                "blob": [gorilla_encode(ts, vals)],
-                "count": [len(ts)],
-                "min_ts": [carry["bucket_start"].iloc[0]],
-                "max_ts": [carry["bucket_start"].iloc[-1]],
-            })
+            stop = len(starts) - 1 if hold_last else len(starts)
+            cols = {"id": [], "chunk_start": [], "blob": [], "count": [],
+                    "min_ts": [], "max_ts": []}
+            for k in range(stop):
+                s, e = starts[k], ends[k]
+                cols["id"].append(ids[s])
+                cols["chunk_start"].append(int(chunks[s]))
+                cols["blob"].append(gorilla_encode(ts_us[s:e] // 1_000_000,
+                                                   vals[s:e]))
+                cols["count"].append(int(e - s))
+                cols["min_ts"].append(int(ts_us[s]))
+                cols["max_ts"].append(int(ts_us[e - 1]))
+            rest = (ids[starts[-1]:], chunks[starts[-1]:],
+                    ts_us[starts[-1]:], vals[starts[-1]:]) if hold_last else None
+            if not cols["id"]:
+                return None, rest
+            rb = pa.record_batch([
+                pa.array(cols["id"], pa.string()),
+                pa.array([tier] * len(cols["id"]), pa.string()),
+                pa.array(cols["chunk_start"], pa.timestamp("us")),
+                pa.array(cols["blob"], pa.binary()),
+                pa.array(cols["count"], pa.int32()),
+                pa.array(cols["min_ts"], pa.timestamp("us")),
+                pa.array(cols["max_ts"], pa.timestamp("us")),
+            ], schema=out_type)
+            return rb, rest
 
-    return arranged.mapInPandas(_stream, schema=BLOB_SCHEMA)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = np.asarray(batch.column(0).to_numpy(zero_copy_only=False))
+            chunks = np.asarray(batch.column(1).cast(pa.int64()).to_numpy())
+            ts_us = np.asarray(batch.column(2).cast(pa.int64()).to_numpy())
+            vals = np.asarray(batch.column(3).to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+            if carry is not None:
+                ids = np.concatenate([carry[0], ids])
+                chunks = np.concatenate([carry[1], chunks])
+                ts_us = np.concatenate([carry[2], ts_us])
+                vals = np.concatenate([carry[3], vals])
+            rb, carry = emit(ids, chunks, ts_us, vals, hold_last=True)
+            if rb is not None:
+                yield rb
+        if carry is not None and len(carry[0]):
+            rb, _ = emit(*carry, hold_last=False)
+            if rb is not None:
+                yield rb
+
+    return arranged.mapInArrow(_stream, schema=BLOB_SCHEMA)
 
 
 def decode_blobs(blobs: DataFrame) -> DataFrame:

@@ -435,3 +435,52 @@ def q_media_feature_extract(spark, sf_dir):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return d.mapInPandas(_fn, "doc_id long, feature array<double>")
+
+
+@register("dedup_embedding_near", """
+WITH pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_dot_product(a.embedding, b.embedding)
+         / (sqrt(list_dot_product(a.embedding, a.embedding))
+            * sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT va, vb, ROUND(sim, 4) AS sim FROM pairs WHERE sim >= 0.92
+""")
+def q_dedup_embedding_near(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label (the IVF cell
+    stands in for the coarse quantizer — the join key bounds the pair space,
+    no cross join)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("va"), F.col("label").alias("lbl"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("label").alias("lbl_b"),
+                 F.col("embedding").alias("eb"))
+    j = a.join(b, (F.col("lbl") == F.col("lbl_b")) & (F.col("va") < F.col("vb")))
+    dot = ("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    na = ("sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    nb = ("sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    sim = F.expr(dot) / (F.expr(na) * F.expr(nb))
+    return j.select("va", "vb", F.round(sim, 4).alias("sim")) \
+        .filter(sim >= 0.92)
+
+
+@register("token_count_bpe_ish", """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_ws_tokens
+FROM documents
+""")
+def q_token_count_bpe_ish(spark, sf_dir):
+    """Token counting: whitespace + a BPE-ish regex segmentation (letters /
+    digits / single punctuation marks), both engines via regexp_extract_all."""
+    d = load(spark, sf_dir, "documents")
+    # Spark SQL literals process backslash escapes — double them
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+        .alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"))

@@ -212,3 +212,134 @@ def q_cut_cycles_series(spark, sf_dir):
                       F.lit("2A").alias("sensor"), "value",
                       F.lit(1.0).alias("qa"), F.col("value").alias("rawval"))
     return cut_cycles(fill(sm))
+
+
+# --------------------------------------------------------------------------
+# Cycle post-processing operators (aggregate_pheno / assign_season family)
+# --------------------------------------------------------------------------
+
+_CYCLES_SQL = """
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         CAST(EXTRACT(year FROM ts) AS INT) AS year,
+         ROW_NUMBER() OVER (PARTITION BY user_id, EXTRACT(year FROM ts)
+                            ORDER BY ts, event_id) AS cycle,
+         CAST(date_trunc('day', ts) AS DATE) AS begin,
+         CAST(date_trunc('day', LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS DATE) AS "end"
+  FROM events WHERE event_type = 'signup'
+"""
+
+
+def _cycles_from_signups(spark, sf_dir):
+    """Pseudo-cycles: consecutive signup events bound [begin, end) windows."""
+    from pyspark.sql import Window as W
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wy = W.partitionBy("user_id", F.year("ts")).orderBy("ts", "event_id")
+    return e.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.year("ts").alias("year"),
+        F.row_number().over(wy).alias("cycle"),
+        F.to_date("ts").alias("begin"),
+        F.to_date(F.lead("ts").over(w)).alias("end"))
+
+
+@register("aggregate_pheno_windows", f"""
+WITH cycles AS ({_CYCLES_SQL}),
+daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id, CAST(ts AS DATE) AS date,
+         AVG(value) AS value
+  FROM events GROUP BY 1, 2)
+SELECT id, year, cycle, fun, ROUND(value, 6) AS value FROM (
+  SELECT c.id, c.year, c.cycle,
+         ROUND(CAST(quantile_cont(d.value, 0.5) AS DOUBLE), 6) AS median,
+         ROUND(MAX(d.value), 6) AS max
+  FROM cycles c JOIN daily d
+    ON d.id = c.id AND d.date >= c.begin AND d.date < c."end"
+  WHERE c."end" IS NOT NULL
+  GROUP BY c.id, c.year, c.cycle)
+UNPIVOT (value FOR fun IN (median, max))
+""")
+def q_aggregate_pheno_windows(spark, sf_dir):
+    """A6/A14/J6: the aggregate_pheno operator over signup-derived cycles."""
+    from .operators.pheno_tools import aggregate_pheno
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
+                      F.to_date("ts").alias("date")) \
+        .agg(F.avg("value").alias("value"))
+    cycles = _cycles_from_signups(spark, sf_dir).filter(F.col("end").isNotNull())
+    out = aggregate_pheno(daily, cycles, fun=("median", "max"))
+    return out.select("id", "year", "cycle", "fun",
+                      F.round("value", 6).alias("value"))
+
+
+@register("assign_season_topk", f"""
+WITH pheno AS (
+  SELECT *, 1.0 * cycle AS weight,
+         CASE WHEN strftime(begin, '%m-%d') >= '04-01'
+                   AND strftime(begin, '%m-%d') <= '09-30' THEN 'summer'
+              ELSE 'winter' END AS season
+  FROM ({_CYCLES_SQL}) WHERE "end" IS NOT NULL)
+SELECT id, year, cycle, season FROM (
+  SELECT *, 1 + COUNT(*) OVER (PARTITION BY id, year, season)
+         - (RANK() OVER (PARTITION BY id, year, season ORDER BY weight)
+            + (COUNT(*) OVER (PARTITION BY id, year, season, weight) - 1) / 2.0)
+         AS rk
+  FROM pheno) WHERE rk <= 2
+""")
+def q_assign_season_topk(spark, sf_dir):
+    """F5/J7/O2: assign_season with wrapping windows + weight-rank top-k.
+
+    'winter' wraps the new year (10-01..03-31) — the OR branch of the
+    mm-dd predicate (assign_season.R:161-162).
+    """
+    from .operators.pheno_tools import assign_season
+    cycles = _cycles_from_signups(spark, sf_dir) \
+        .filter(F.col("end").isNotNull()) \
+        .withColumn("weight", F.col("cycle").cast("double")) \
+        .withColumn("pop", F.col("begin"))
+    out = assign_season(
+        cycles, seasons=["summer", "winter"],
+        pop_win={"summer": ("04-01", "09-30"), "winter": ("10-01", "03-31")},
+        max_n_cycles=2)
+    return out.select("id", "year", "cycle", "season")
+
+
+@register("detect_forages_flags")
+def q_detect_forages_flags(spark, sf_dir):
+    """W7/A8 composite: detect_forages over daily event series — rows-only
+    (the centered frollmean + quantile pipeline is checked by structure)."""
+    from .operators.pheno_tools import detect_forages
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
+                      F.to_date("ts").alias("date")) \
+        .agg(F.avg("value").alias("value"))
+    cycles = _cycles_from_signups(spark, sf_dir).filter(F.col("end").isNotNull()) \
+        .withColumn("maxval", F.col("begin")) \
+        .withColumn("weight", F.lit(1.0))
+    return detect_forages(daily, cycles, diff_thr=0.5, ncuts_thr=5.0)
+
+
+@register("fit_curves_long")
+def q_fit_curves_long(spark, sf_dir):
+    """C12/s2fit_to_s2ts: per-cycle Gu fit flattened to a long table —
+    rows-only (NLS fit not SQL-expressible)."""
+    from .operators.pheno_tools import fit_curves
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
+                      F.to_date("ts").alias("date")) \
+        .agg(F.avg("value").alias("value")) \
+        .filter(F.col("id").cast("int") < 5)
+    # keep it small: first 5 users, one synthetic cycle each over their span
+    bounds = daily.groupBy("id").agg(
+        F.min("date").alias("begin"),
+        F.date_add(F.max("date"), 1).alias("end"))
+    cycles = bounds.select(
+        "id", F.lit(2024).alias("year"), F.lit(1).alias("cycle"),
+        "begin", "end")
+    # fit needs a daily grid: fill linearly first
+    from .operators.timeseries import fill
+    sm = daily.select("id", "date", F.lit("000").alias("orbit"),
+                      F.lit("2A").alias("sensor"), "value",
+                      F.lit(1.0).alias("qa"), F.col("value").alias("rawval"))
+    filled = fill(sm).filter(F.col("id").cast("int") < 5)
+    return fit_curves(filled, cycles, fit="no")

@@ -38,6 +38,12 @@ def get_spark(app: str = "sen2rts_spark", cores: int | None = None,
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
     )
+    # shuffle + python-worker temp on tmpfs: the sandbox's /tmp is a virtio
+    # disk whose sync storms showed up as 40-60% sys time at local[32]
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
