@@ -25,7 +25,7 @@ import math
 
 import numpy as np
 
-__all__ = ["cut_cycles_series", "rank_average"]
+__all__ = ["cut_cycles_series", "rank_average", "ground_mask"]
 
 from .series import rank_average
 
@@ -178,7 +178,8 @@ def cut_cycles_series(
     cut = _detect_candidates(relval, "cut")
 
     # NOTE: the reference computes a 'ground'/'cutground' mask with buffer
-    # erosion (cut_cycles.R:170-188) but never uses it downstream; omitted.
+    # erosion (cut_cycles.R:170-188) but never uses it downstream; see
+    # ground_mask() below for the parity implementation.
 
     # peak1/cut1: clean peaks among cuts only (cut_cycles.R:191)
     _clean_maxmin(relval, peak, cut, check_peaks=True, check_cuts=False)
@@ -302,3 +303,51 @@ def cut_cycles_series(
         r["cycle"] = counters[r["year"]]
         out.append(r)
     return out
+
+
+def ground_mask(days: np.ndarray, relval: np.ndarray,
+                max_groundvalue: float = 0.2,
+                ground_buffer: int = 10):
+    """Ground ("bare baseline") mask with buffer erosion — W8.
+
+    Replicates cut_cycles.R:170-188: rows with relval <= max_groundvalue form
+    ground runs; each run is eroded by ``ground_buffer`` days at both ends
+    (the eroded days belong to the previous/next season). Returns
+    (ground bool array, cutground int array with -1/+1 at eroded run edges).
+
+    NOTE: the reference computes this mask but never consumes it downstream
+    (verified — no later reference to `ground`/`cutground` in cut_cycles.R),
+    so cut_cycles_series() does not apply it; it is provided for parity and
+    for callers that want the baseline segmentation.
+    """
+    days = np.asarray(days, dtype=np.int64)
+    n = len(days)
+    with np.errstate(invalid="ignore"):
+        ground = relval <= max_groundvalue
+    ground = np.where(np.isnan(relval), False, ground)
+    cutground = np.zeros(n, dtype=np.int64)
+    g = ground.astype(np.int64)
+    cutground[1:] = np.diff(g)
+    # falling edges: erode ground_buffer days BEFORE the edge
+    for u in np.flatnonzero(cutground < 0):
+        date_r = days[u]
+        left = np.flatnonzero(days <= date_r - ground_buffer)
+        if len(left) == 0:
+            continue
+        date_l = days[left].max()
+        sel = (days >= date_l) & (days < date_r)
+        ground[sel] = False
+        cutground[days == date_l] = -1
+        cutground[u] = 0
+    # rising edges: erode ground_buffer days AFTER the edge
+    for u in np.flatnonzero(cutground > 0):
+        date_l = days[u]
+        right = np.flatnonzero(days >= date_l + ground_buffer - 1)
+        if len(right) == 0:
+            continue
+        date_r = days[right].min()
+        sel = (days >= date_l) & (days <= date_r)
+        ground[sel] = False
+        cutground[u] = 0
+        cutground[days == date_r] = 1
+    return ground, cutground

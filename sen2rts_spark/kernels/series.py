@@ -20,6 +20,7 @@ import numpy as np
 
 from .savgol import w_savgol
 from .spline_fmm import fmm_spline_coef, fmm_spline_eval
+from .whittaker import whittaker_smooth
 
 __all__ = ["dop_grid", "smooth_series", "fill_series", "rank_average", "ORBIT_DOYBASE"]
 
@@ -101,8 +102,14 @@ def smooth_series(
     sg_polynom: int = 2,
     sg_n: int = 3,
     max_extrapolation: float = 0.1,
+    filter_type: str = "savgol",
+    whittaker_lambda: float = 100.0,
 ):
     """Smooth one series. Inputs are the raw observations (any order).
+
+    ``filter_type='whittaker'`` swaps the iterated SG for a weighted
+    Whittaker-Eilers smoother (north-rule addition, SURVEY §2.10) — same
+    grid/interp/clamp/restore pipeline around it.
 
     Returns dict of output arrays aligned with the input rows (same length,
     original sort by (day, sensor, orbit)): ``value`` (smoothed, NaN where the
@@ -209,10 +216,13 @@ def smooth_series(
     val_fixed = value0.copy()
     value_sg = value0.copy()
     x_num = mdays.astype(np.float64)
-    for _ in range(sg_n):
-        qa_it = (rank_average(val_fixed - value_sg) - 1.0) / (nm - 1.0) * qa_it
-        value_sg = w_savgol(val_fixed, x_num, qa_it,
-                            window=sg_window, polynom=sg_polynom)
+    if filter_type == "whittaker":
+        value_sg = whittaker_smooth(value0, mqa0, lam=whittaker_lambda)
+    else:
+        for _ in range(sg_n):
+            qa_it = (rank_average(val_fixed - value_sg) - 1.0) / (nm - 1.0) * qa_it
+            value_sg = w_savgol(val_fixed, x_num, qa_it,
+                                window=sg_window, polynom=sg_polynom)
 
     # semi-join back to the filtered observed rows (smooth_s2ts.R:216-219)
     mkeys = list(zip(mdays.tolist(), msens.tolist(), morbs.tolist()))

@@ -53,7 +53,8 @@ def _dates_from_days(days) -> list:
 def smooth(obs: DataFrame, min_qa: float = 0.2, noise_dir: str = "low",
            spike: float = 0.25, spike_window: int = 5, sg_daywindow: int = 15,
            sg_polynom: int = 2, sg_n: int = 3,
-           max_extrapolation: float = 0.1) -> DataFrame:
+           max_extrapolation: float = 0.1, filter_type: str = "savgol",
+           whittaker_lambda: float = 100.0) -> DataFrame:
     """obs_raw → obs_smoothed (adds rawval; value = smoothed or NULL)."""
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -69,6 +70,7 @@ def smooth(obs: DataFrame, min_qa: float = 0.2, noise_dir: str = "low",
                 spike_window=spike_window, sg_daywindow=sg_daywindow,
                 sg_polynom=sg_polynom, sg_n=sg_n,
                 max_extrapolation=max_extrapolation,
+                filter_type=filter_type, whittaker_lambda=whittaker_lambda,
             )
         except Exception:
             # degenerate series (too short / all-NaN): keep rows, NULL smooth

@@ -343,3 +343,21 @@ def q_fit_curves_long(spark, sf_dir):
                       F.lit(1.0).alias("qa"), F.col("value").alias("rawval"))
     filled = fill(sm).filter(F.col("id").cast("int") < 5)
     return fit_curves(filled, cycles, fit="no")
+
+
+@register("smooth_whittaker_series")
+def q_smooth_whittaker_series(spark, sf_dir):
+    """North-rule Whittaker smoother over the daily event series — rows-only
+    (banded-Cholesky solve not SQL-expressible)."""
+    from .operators.timeseries import smooth
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
+                      F.to_date("ts").alias("date")) \
+        .agg(F.avg("value").alias("value"), F.lit(1.0).alias("qa"),
+             F.lit("000").alias("orbit"), F.lit("2A").alias("sensor")) \
+        .select("id", "date", "orbit", "sensor", "value", "qa")
+    out = smooth(daily, min_qa=0.0, filter_type="whittaker",
+                 whittaker_lambda=25.0)
+    return out.select("id", "date",
+                      F.round("value", 6).alias("smoothed"),
+                      F.round("rawval", 6).alias("rawval"))

@@ -59,8 +59,10 @@ def run_level(cores: int, pages_path: str, reps: int) -> list[dict]:
 
 
 def main():
-    n_urls = int(os.environ.get("SPARK_GRAFT_PAGES_URLS", "30000"))
+    n_urls = int(os.environ.get("SPARK_GRAFT_PAGES_URLS", "150000"))
     runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "4"))
+    levels = tuple(int(x) for x in os.environ.get(
+        "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
     # materialize input once
     sys.path.insert(0, REPO)
     from bench import ensure_pages
@@ -78,7 +80,7 @@ def main():
                     pass
 
     results = {}
-    for cores in (2, 8, 32):
+    for cores in levels:
         samples = run_level(cores, pages_path, runs)
         steady = samples[1:] if len(samples) > 1 else samples  # drop 1st rep
         pps = [s["pps"] for s in steady]
@@ -90,13 +92,13 @@ def main():
         }
         print(f"local[{cores}]: median {results[f'local[{cores}]']['median_pps']:.0f} points/sec")
 
-    eff28 = results["local[8]"]["median_pps"] / results["local[2]"]["median_pps"] / 4
-    eff832 = results["local[32]"]["median_pps"] / results["local[8]"]["median_pps"] / 4
-    results["scaling_efficiency_2_to_8"] = round(eff28, 3)
-    results["scaling_efficiency_8_to_32"] = round(eff832, 3)
-    print(f"scaling efficiency (N=2 -> 4N=8): {eff28:.3f} (target >= 0.8)")
-    print(f"scaling efficiency (N=8 -> 4N=32): {eff832:.3f} "
-          f"(single-box memory-bandwidth ceiling ~0.67, see BENCH/BASELINE.md)")
+    for lo, hi in zip(levels, levels[1:]):
+        if hi == lo * 4:
+            eff = (results[f"local[{hi}]"]["median_pps"]
+                   / results[f"local[{lo}]"]["median_pps"] / 4)
+            results[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+            print(f"scaling efficiency (N={lo} -> 4N={hi}): {eff:.3f} "
+                  f"(target >= 0.8)")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
