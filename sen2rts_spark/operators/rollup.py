@@ -76,3 +76,39 @@ def rollup_tier(prev: DataFrame, tier: str) -> DataFrame:
                 "wsum", "vwsum", "vmin", "vmax", "last_ts", "last_value")
     )
     return _finish(out)
+
+
+def rollup_incremental(existing: DataFrame, new_obs: DataFrame,
+                       tier: str = "daily", **raw_kwargs) -> DataFrame:
+    """Continuous-aggregate maintenance: fold NEW raw observations into an
+    existing tier without touching untouched buckets.
+
+    The partials are associative, so the update is exact:
+      partials(new) ∪ existing rows of touched (id, bucket) → re-fold;
+      untouched buckets pass through (no shuffle for them beyond the
+      broadcast-able anti-join on touched keys).
+
+    This is the batch form of the north rule's continuous aggregates — on
+    Iceberg it becomes MERGE INTO keyed on (id, bucket_start) over the
+    incremental snapshot read (docs/ICEBERG.sql). Equality with a full
+    recompute is property-tested.
+    """
+    delta = rollup_raw(new_obs, tier, **raw_kwargs)
+    touched = delta.select("id", "bucket_start").distinct()
+    affected = existing.join(touched, ["id", "bucket_start"], "left_semi")
+    untouched = existing.join(touched, ["id", "bucket_start"], "left_anti")
+    merged = (
+        affected.unionByName(delta.drop("value"), allowMissingColumns=True)
+        .groupBy("id", "bucket_start")
+        .agg(
+            F.sum("count").alias("count"),
+            F.sum("wsum").alias("wsum"),
+            F.sum("vwsum").alias("vwsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.max("last_ts").alias("last_ts"),
+            F.max_by("last_value", "last_ts").alias("last_value"),
+        )
+    )
+    return untouched.drop("value").unionByName(merged).withColumn(
+        "value", F.col("vwsum") / F.col("wsum"))

@@ -52,3 +52,55 @@ def stream_rollup(stream: DataFrame, tier: str = "hourly",
                 "wsum", "vwsum", "vmin", "vmax", "last_ts", "last_value",
                 (F.col("vwsum") / F.col("wsum")).alias("value"))
     )
+
+
+def stream_ewma_smoother(stream: DataFrame, alpha: float = 0.3,
+                         ts_col: str = "ts", id_col: str = "id",
+                         value_col: str = "value"):
+    """Custom stateful streaming operator: per-id exponentially-weighted
+    smoother carried across micro-batches with applyInPandasWithState.
+
+    The reference has no streaming (SURVEY §2.9); this is the
+    'custom stateful operator' surface the graft adds: state = (last EWMA,
+    last event-time); each micro-batch folds its rows in event-time order
+    into the carried state and emits the smoothed points.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import numpy as np
+    import pandas as pd
+
+    src = stream.select(F.col(id_col).alias("id"), F.col(ts_col).alias("ts"),
+                        F.col(value_col).cast("double").alias("value"))
+
+    def _fn(key, pdf_iter, state):
+        if state.exists:
+            ewma, last_ts = state.get
+        else:
+            ewma, last_ts = None, None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            sm = np.empty(len(vals))
+            cur = ewma
+            for i, v in enumerate(vals):
+                cur = v if cur is None or np.isnan(cur) else \
+                    alpha * v + (1 - alpha) * cur
+                sm[i] = cur
+            ewma = cur
+            last_ts = pdf["ts"].iloc[-1]
+            out.append(pd.DataFrame({
+                "id": key[0], "ts": pdf["ts"], "value": vals, "smoothed": sm}))
+        state.update((float(ewma) if ewma is not None else None,
+                      last_ts.to_pydatetime() if last_ts is not None else None))
+        for o in out:
+            yield o
+
+    return src.groupBy("id").applyInPandasWithState(
+        _fn,
+        outputStructType="id string, ts timestamp, value double, smoothed double",
+        stateStructType="ewma double, last_ts timestamp",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -37,3 +37,47 @@ def test_stream_rollup_matches_batch(spark):
         want = {(r["id"], r["bucket_start"]): (r["count"], round(r["value"], 9))
                 for r in rollup_raw(src, "hourly").collect()}
         assert got == want
+
+
+def test_stateful_ewma_carries_state_across_batches(spark):
+    import os, tempfile
+    import pyspark.sql.functions as F
+    from sen2rts_spark.streaming.rollup_stream import stream_ewma_smoother
+
+    rows1 = [("a", 1_700_000_000 + k * 60, float(k)) for k in range(5)]
+    rows2 = [("a", 1_700_000_000 + (5 + k) * 60, float(5 + k)) for k in range(5)]
+
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(os.path.join(d, "in"))
+        def mkdf(rows):
+            # one file per write: file-source micro-batch order is file order,
+            # and the EWMA fold needs ordered arrival
+            return spark.createDataFrame(rows, "id string, epoch long, value double") \
+                .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch") \
+                .coalesce(1)
+        def run_once():
+            stream = spark.readStream \
+                .schema("id string, value double, ts timestamp") \
+                .option("maxFilesPerTrigger", 1).parquet(os.path.join(d, "in"))
+            q = (stream_ewma_smoother(stream, alpha=0.5)
+                 .writeStream.format("parquet")
+                 .option("path", os.path.join(d, "out"))
+                 .outputMode("append")
+                 .option("checkpointLocation", os.path.join(d, "ckpt"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        mkdf(rows1).write.mode("append").parquet(os.path.join(d, "in"))
+        run_once()  # first batch
+        mkdf(rows2).write.mode("append").parquet(os.path.join(d, "in"))
+        run_once()  # restart from checkpoint — state must carry over
+
+        got = {r["value"]: r["smoothed"]
+               for r in spark.read.parquet(os.path.join(d, "out")).collect()}
+        # reference EWMA folded over ALL 10 points in order — state carried
+        exp, cur = {}, None
+        for v in [float(x) for x in range(10)]:
+            cur = v if cur is None else 0.5 * v + 0.5 * cur
+            exp[v] = cur
+        for v, s in exp.items():
+            assert abs(got[v] - s) < 1e-12, (v, got.get(v), s)

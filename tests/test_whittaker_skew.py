@@ -48,3 +48,28 @@ def test_salted_rollup_equals_plain(spark):
                                              r["vmin"], r["vmax"])
               for r in salted_rollup_raw(obs, 86400).collect()}
     assert plain == salted
+
+
+def test_incremental_rollup_equals_full(spark):
+    import pyspark.sql.functions as F
+    from sen2rts_spark.operators.extract import extract_obs
+    from sen2rts_spark.operators.rollup import rollup_incremental, rollup_raw
+    from sen2rts_spark.sources.pages import synth_pages
+
+    pages = synth_pages(spark, n_urls=25, n_slots=50, dup_pct=10)
+    obs = extract_obs(pages).select(
+        "id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
+    # split stream: first 35 slots = history, rest = late-arriving batch
+    cutoff = "2020-06-01"
+    hist = obs.filter(F.col("ts") < cutoff)
+    late = obs.filter(F.col("ts") >= cutoff)
+    tier0 = rollup_raw(hist, "daily")
+    updated = rollup_incremental(tier0, late, "daily")
+    full = rollup_raw(obs, "daily")
+    a = {(r["id"], r["bucket_start"]): (r["count"], round(r["value"], 9),
+                                        r["vmin"], r["vmax"], r["last_value"])
+         for r in updated.collect()}
+    b = {(r["id"], r["bucket_start"]): (r["count"], round(r["value"], 9),
+                                        r["vmin"], r["vmax"], r["last_value"])
+         for r in full.collect()}
+    assert a == b
