@@ -14,9 +14,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 SF0001 = "/root/testdata/sf0.001"
+
+_PYFILES_SENT: set = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Make sen2rts_spark importable on executor Python workers regardless of
+    the driver's CWD: build dist/sen2rts_spark.zip once and addPyFile it."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SENT:
+        return
+    zip_path = os.path.join(_REPO, "dist", "sen2rts_spark.zip")
+    try:
+        import subprocess
+        subprocess.run([sys.executable,
+                        os.path.join(_REPO, "tools", "build_pyfiles.py")],
+                       check=True, capture_output=True)
+    except Exception:  # noqa: BLE001 — fall back to a stale zip if present
+        pass
+    if os.path.exists(zip_path):
+        spark.sparkContext.addPyFile(zip_path)
+    _PYFILES_SENT.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     import pyspark.sql.functions as F
 
+    _ensure_pyfiles(spark)
     from sen2rts_spark.operators.gorilla_sink import decode_blobs, encode_blobs
     from sen2rts_spark.operators.rollup import rollup_raw
 
@@ -51,7 +74,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sen2rts_spark import queries as q
-    return q.queries()
+
+    def _wrap(fn):
+        def inner(spark, sf_dir):
+            _ensure_pyfiles(spark)
+            return fn(spark, sf_dir)
+        inner.__name__ = getattr(fn, "__name__", "query")
+        inner.__doc__ = fn.__doc__
+        return inner
+
+    return {name: _wrap(fn) for name, fn in q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
