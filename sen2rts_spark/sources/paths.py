@@ -27,7 +27,8 @@ def parse_s2_paths(paths_df: DataFrame, path_col: str = "path") -> DataFrame:
     return paths_df.select(
         F.col(path_col),
         F.concat(F.lit("2"), F.regexp_extract(base, _RE, 1)).alias("sensor"),
-        F.to_date(F.regexp_extract(base, _RE, 2), "yyyyMMdd").alias("date"),
+        F.try_to_timestamp(F.regexp_extract(base, _RE, 2),
+                           F.lit("yyyyMMdd")).cast("date").alias("date"),
         F.regexp_extract(base, _RE, 3).alias("orbit"),
         F.regexp_extract(base, _RE, 4).alias("tile"),
         F.regexp_extract(base, _RE, 5).alias("prod_type"),
