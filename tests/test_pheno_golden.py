@@ -123,3 +123,19 @@ def test_gu_fit_end_to_end_dates(ts_filled, dt_cycles, dt_pheno):
         pop_date = begin + datetime.timedelta(days=int(m["pop"]) - 1)
         assert abs((pop_date - dt_pheno["pop"][ci]).days) <= 1
         assert int(m["los"]) == dt_pheno["los"][ci]
+
+
+def test_ground_mask_buffer_erosion():
+    """W8 parity: ground runs eroded by ground_buffer days at both ends
+    (cut_cycles.R:170-188)."""
+    from sen2rts_spark.kernels.cycles import ground_mask
+    days = np.arange(100)
+    rv = np.concatenate([np.full(30, 0.1), np.full(40, 0.8), np.full(30, 0.1)])
+    g, cg = ground_mask(days, rv, max_groundvalue=0.2, ground_buffer=10)
+    assert g[:20].all()          # leading ground, eroded tail
+    assert not g[20:30].any()    # 10 days before the rising edge eroded
+    assert not g[30:70].any()    # the cycle itself
+    assert not g[70:80].any()    # [date_l, date_r] inclusive erosion (R :184)
+    assert g[80:].all()
+    assert list(np.flatnonzero(cg)) == [20, 79]
+    assert cg[20] == -1 and cg[79] == 1
