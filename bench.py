@@ -85,6 +85,9 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # make the package importable on executor workers regardless of CWD
+    import __spark_entry__ as _entry
+    _entry._ensure_pyfiles(spark)
 
     pages_path = ensure_pages(spark, repo_root, n_urls, n_slots)
 
