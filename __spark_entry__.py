@@ -39,6 +39,11 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     if os.path.exists(zip_path):
         spark.sparkContext.addPyFile(zip_path)
     _PYFILES_SENT.add(key)
+    try:
+        from sen2rts_spark.session import prewarm_python_workers
+        prewarm_python_workers(spark)
+    except Exception:  # noqa: BLE001 — prewarm is best-effort setup
+        pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -85,9 +85,14 @@ def main() -> None:
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    # make the package importable on executor workers regardless of CWD
+    # make the package importable on executor workers regardless of CWD,
+    # then create the full Python worker pool while the JVM is idle (worker
+    # creation is serialized behind the SparkEnv lock — doing it lazily inside
+    # the first big job measured 60-110 s on this host)
     import __spark_entry__ as _entry
     _entry._ensure_pyfiles(spark)
+    from sen2rts_spark.session import prewarm_python_workers
+    prewarm_python_workers(spark)
 
     pages_path = ensure_pages(spark, repo_root, n_urls, n_slots)
 

@@ -5,9 +5,9 @@ rescale and pixel-min combine:
 
 - ``scl_weight``  ~ scl_weights() defaults (/root/reference/R/scl_weights.R:41-52)
 - ``cld_weight``  ~ CLD rescale (/root/reference/R/extract_s2ts.R:338-360;
-  default breaks (w_high+w_med)/2=0.05 at CLD 80-100, (w_med+w_uncl)/2=0.35
-  at CLD 20-80, linear in between, top weight 1 at CLD 0-20 … exact shape
-  below)
+  default breaks derived from scl_weights() defaults: weight 1 at CLD 0,
+  (w_med+w_uncl)/2 = (0+0.33)/2 = 0.165 at CLD 20,
+  (w_high+w_med)/2 = (0+0)/2 = 0.0 at CLD 80, 0 at CLD 100, linear between)
 - ``combine_weights`` ~ pixel-min (/root/reference/R/extract_s2ts.R:385-391)
 """
 
@@ -46,12 +46,13 @@ def scl_weight(cls: Column) -> Column:
     return out.otherwise(expr)
 
 
-def cld_weight(cld_pct: Column, w_max: float = 1.0, w_mid: float = 0.35,
-               w_min: float = 0.05) -> Column:
+def cld_weight(cld_pct: Column, w_max: float = 1.0, w_mid: float = 0.165,
+               w_min: float = 0.0) -> Column:
     """Piecewise-linear cloud-probability weight (extract_s2ts.R:349-360).
 
-    CLD in [0,20] -> w_max..w_mid-ish upper segment, [20,80] middle linear,
-    [80,100] -> down to w_min; clamped monotone non-increasing.
+    Breaks follow the reference derivation from SCL_WEIGHTS:
+    CLD 0 -> w_max, CLD 20 -> w_mid = (w_med+w_uncl)/2 = 0.165,
+    CLD 80 -> w_min = (w_high+w_med)/2 = 0.0, CLD 100 -> 0; linear between.
     """
     c = cld_pct.cast("double")
     seg1 = F.lit(w_max) + (c - 0.0) / (20.0 - 0.0) * (F.lit(w_mid) - F.lit(w_max))

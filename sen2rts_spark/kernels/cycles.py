@@ -333,6 +333,10 @@ def ground_mask(days: np.ndarray, relval: np.ndarray,
         date_r = days[u]
         left = np.flatnonzero(days <= date_r - ground_buffer)
         if len(left) == 0:
+            # R max(empty) = -Inf (cut_cycles.R:176-177): erode the whole
+            # leading ground run; no row carries the -1 marker.
+            ground[days < date_r] = False
+            cutground[u] = 0
             continue
         date_l = days[left].max()
         sel = (days >= date_l) & (days < date_r)
@@ -344,6 +348,9 @@ def ground_mask(days: np.ndarray, relval: np.ndarray,
         date_l = days[u]
         right = np.flatnonzero(days >= date_l + ground_buffer - 1)
         if len(right) == 0:
+            # R min(empty) = +Inf: erode through the series end, no marker.
+            ground[days >= date_l] = False
+            cutground[u] = 0
             continue
         date_r = days[right].min()
         sel = (days >= date_l) & (days <= date_r)

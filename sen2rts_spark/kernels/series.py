@@ -335,6 +335,13 @@ def fill_series(
         knot_mask = vmask & np.isin(days, np.fromiter(valid_x, dtype=np.int64))
         kx = days[knot_mask].astype(np.float64)
         ky = value[knot_mask]
+        # R spline() regularize.values: average tied x (two orbits/sensors can
+        # share a passage date); dx=0 knots would NaN the tridiagonal solve.
+        if len(kx) and len(np.unique(kx)) != len(kx):
+            uq, inv = np.unique(kx, return_inverse=True)
+            sums = np.zeros(len(uq)); cnts = np.zeros(len(uq))
+            np.add.at(sums, inv, ky); np.add.at(cnts, inv, 1)
+            kx, ky = uq, sums / cnts
         if len(kx) >= 1:
             coefs = fmm_spline_coef(kx, ky)
             eval_mask = np.isin(mdays, np.fromiter(valid_x, dtype=np.int64))

@@ -62,9 +62,13 @@ def extract_obs(pages: DataFrame, fun: str = "mean") -> DataFrame:
 
     grp = parsed.groupBy("id", "date", "orbit", "sensor")
     if fun == "mean":
+        # weighted.mean(na.rm=TRUE) drops (value, w) PAIRS with NA value
+        # (extract_s2ts.R:406): denominator must not count weights of rows
+        # whose value0 failed to parse.
+        w_eff = F.when(F.col("value0").isNotNull(), F.col("w") + F.lit(1e-9))
         agg = grp.agg(
             (F.sum(F.col("value0") * (F.col("w") + F.lit(1e-9)))
-             / F.sum(F.col("w") + F.lit(1e-9))).alias("value"),
+             / F.sum(w_eff)).alias("value"),
             F.avg("w").alias("qa"),
         )
     elif fun == "best":

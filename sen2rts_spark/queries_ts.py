@@ -61,7 +61,7 @@ def q_rollup_tier_chain(spark, sf_dir):
 
 @register("rollup_weekly_retention", """
 SELECT user_id,
-       to_timestamp((epoch(ts)::BIGINT // 604800) * 604800) AS bucket_start,
+       CAST(to_timestamp((epoch(ts)::BIGINT // 604800) * 604800) AS TIMESTAMP) AS bucket_start,
        COUNT(*) AS count,
        ROUND(SUM(value * 1.000000001) / SUM(1.000000001), 6) AS value
 FROM events

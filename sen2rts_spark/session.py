@@ -11,7 +11,49 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "prewarm_python_workers"]
+
+
+def prewarm_python_workers(spark, n_workers: int | None = None) -> float:
+    """Fan out one held-open Arrow task per core so the Python worker pool is
+    fully created while the JVM is idle.
+
+    Spark serializes worker creation behind the SparkEnv lock; when the first
+    Python stage of a session runs inside a big job, the 32 creations +
+    simultaneous cold imports of numpy/pandas/pyarrow measured 60-110 s on
+    this host (jstack: every task thread BLOCKED in SparkEnv.createPythonWorker).
+    Creating the pool up front on an idle JVM costs ~7 s once and every later
+    Python stage runs warm (measured 64.6 s -> 4.9 s for the Gorilla encode
+    stage). On a real cluster the analogue is executor worker reuse across
+    jobs — this is session setup, not per-query work.
+
+    Returns the wall seconds spent. Idempotent per SparkContext.
+    """
+    import time as _time
+
+    sc = spark.sparkContext
+    if getattr(sc, "_sen2rts_prewarmed", False):
+        return 0.0
+    n = n_workers or sc.defaultParallelism
+
+    def _hold(batches):
+        # preload the heavy imports inside the worker so first real task
+        # doesn't pay them under 32-way memory-bandwidth contention
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+            import sen2rts_spark.kernels.gorilla  # noqa: F401
+        except ImportError:
+            pass  # zip not shipped yet — worker creation is still the win
+        _time.sleep(1.2)  # hold the slot: force one worker per core
+        for b in batches:
+            yield b
+
+    t0 = _time.time()
+    spark.range(0, n, 1, n).mapInArrow(_hold, "id long").count()
+    sc._sen2rts_prewarmed = True
+    return _time.time() - t0
 
 
 def get_spark(app: str = "sen2rts_spark", cores: int | None = None,

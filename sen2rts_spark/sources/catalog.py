@@ -85,12 +85,23 @@ class Catalog:
                 sorted(set(todo) & set(only_buckets))
 
         t0 = time.time()
-        bucketed.write.mode("append").partitionBy("bucket") \
+        # Dynamic partition overwrite makes a bucket re-write idempotent: a
+        # crash between the data commit and the lineage commit is repaired by
+        # resume redoing the bucket (replacing, never duplicating, its files) —
+        # the Iceberg-snapshot analogue of atomic replace.
+        bucketed.write.mode("overwrite").partitionBy("bucket") \
+            .option("partitionOverwriteMode", "dynamic") \
             .parquet(self.table_path(table))
         wall_ms = int((time.time() - t0) * 1000)
 
-        written = bucketed.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("rows_out")).collect()
+        # Lineage counts come from the COMMITTED files, not a re-evaluation of
+        # the (possibly non-deterministic) upstream plan: data + lineage then
+        # describe the same materialized result.
+        candidates = todo if todo is not None else list(range(self.n_buckets))
+        written = self.spark.read.parquet(self.table_path(table)) \
+            .filter(F.col("bucket").isin(candidates)) \
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("rows_out")) \
+            .collect()
         run_id = uuid.uuid4().hex[:12]
         rows = [(table, int(r["bucket"]), int(r["rows_out"]), wall_ms,
                  run_id, None, "ok") for r in written]
