@@ -25,20 +25,34 @@ _MAGIC = b"GTS1"
 
 
 class _BitWriter:
-    __slots__ = ("acc", "nbits")
+    """Accumulates bits MSB-first, flushing whole bytes to a bytearray.
+
+    Keeping the accumulator bounded (< 8 bits after each write) makes the
+    writer O(total_bits): a single growing big-int accumulator costs
+    O(total_bits) PER WRITE (every shift copies the whole integer), which is
+    quadratic and dominates encode time for multi-KB blobs.
+    """
+    __slots__ = ("buf", "acc", "nbits")
 
     def __init__(self):
+        self.buf = bytearray()
         self.acc = 0
         self.nbits = 0
 
     def write(self, value: int, bits: int):
-        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
-        self.nbits += bits
+        acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        nbits = self.nbits + bits
+        while nbits >= 8:
+            nbits -= 8
+            self.buf.append((acc >> nbits) & 0xFF)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def getvalue(self) -> bytes:
-        pad = (-self.nbits) % 8
-        acc = self.acc << pad
-        return acc.to_bytes((self.nbits + pad) // 8, "big")
+        out = bytes(self.buf)
+        if self.nbits:
+            out += bytes([(self.acc << ((-self.nbits) % 8)) & 0xFF])
+        return out
 
 
 class _BitReader:
