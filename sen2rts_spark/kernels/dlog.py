@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["gu_curve", "quantile7", "fit_gu", "fake_fit"]
+__all__ = ["gu_curve", "beck_curve", "elmore_curve", "klosterman_curve",
+           "quantile7", "fit_gu", "fit_beck", "fit_elmore", "fit_klosterman",
+           "fake_fit", "fit_with_fallback", "FIT_FUNS"]
 
 
 def gu_curve(par: np.ndarray, t: np.ndarray) -> np.ndarray:
@@ -150,3 +152,157 @@ def fake_fit(x: np.ndarray):
     x = np.asarray(x, dtype=np.float64)
     return {"params": None, "predicted": x.copy(), "sf": (0.0, 1.0),
             "sse": 0.0, "method": "no"}
+
+
+# ---------------------------------------------------------------------------
+# Alternative double-logistic families (fit_curve.R:116-129 dispatches to
+# phenopix::BeckFit / ElmoreFit / KlostermanFit; the formulas below are the
+# published ones — Beck et al. 2006, Elmore et al. 2012, Klosterman et al.
+# 2014 / Richards-generalized sigmoids — fitted with the same deterministic
+# multistart Nelder-Mead harness as the Gu fit).
+# ---------------------------------------------------------------------------
+
+def beck_curve(par: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Beck et al. 2006: mn + (mx-mn) * (S_up(t) + S_down(t) - 1)."""
+    mn, mx, sos, rsp, eos, rau = par
+    with np.errstate(over="ignore", invalid="ignore"):
+        return mn + (mx - mn) * (1.0 / (1.0 + np.exp(-rsp * (t - sos)))
+                                 + 1.0 / (1.0 + np.exp(rau * (t - eos)))
+                                 - 1.0)
+
+
+def elmore_curve(par: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Elmore et al. 2012 (7-param, linear 'greendown' slope m7)."""
+    m1, m2, m3, m4, m5, m6, m7 = par
+    with np.errstate(over="ignore", invalid="ignore"):
+        return m1 + (m2 - m7 * t) * (1.0 / (1.0 + np.exp((m3 - t) / m4))
+                                     - 1.0 / (1.0 + np.exp((m5 - t) / m6)))
+
+
+def klosterman_curve(par: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Richards-generalized double sigmoid with linear greendown
+    (Klosterman et al. 2014 family): the curvature exponents v1/v2 let each
+    shoulder bend asymmetrically."""
+    y0, a, d, n1, h1, v1, n2, h2, v2 = par
+    with np.errstate(over="ignore", invalid="ignore"):
+        s1 = (1.0 + np.exp(-h1 * (t - n1))) ** (-v1)
+        s2 = (1.0 + np.exp(-h2 * (t - n2))) ** (-v2)
+        return y0 + (a - d * t) * (s1 - s2)
+
+
+def _fit_generic(x: np.ndarray, curve, starts, method: str,
+                 coarse_iter: int = 300, refine_iter: int = 2000):
+    """Shared multistart harness: normalize by sf quantiles, coarse NM on all
+    starts, refine the best three, back-scale the winner."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    t = np.arange(1, n + 1, dtype=np.float64)
+    sf = (quantile7(x, 0.05), quantile7(x, 0.95))
+    span = sf[1] - sf[0]
+    if span == 0:
+        span = 1.0
+    xn = (x - sf[0]) / span
+
+    def f(par):
+        if not np.all(np.isfinite(par)):
+            return 99999.0
+        pred = curve(par, t)
+        if not np.all(np.isfinite(pred)):
+            return 99999.0
+        return float(np.sum((pred - xn) ** 2))
+
+    coarse = []
+    for p0 in starts:
+        par, cost = _nelder_mead(f, np.asarray(p0, dtype=np.float64),
+                                 maxiter=coarse_iter)
+        coarse.append((cost, par))
+    coarse.sort(key=lambda r: r[0])
+    best_par, best_cost = None, np.inf
+    for cost, par in coarse[:3]:
+        par2, cost2 = _nelder_mead(f, par, maxiter=refine_iter)
+        if cost2 < best_cost:
+            best_par, best_cost = par2, cost2
+    pred_n = curve(best_par, t)
+    predicted = pred_n * span + sf[0]
+    if not np.all(np.isfinite(predicted)):
+        return None
+    return {"params": best_par, "predicted": predicted, "sf": sf,
+            "sse": best_cost, "method": method}
+
+
+def fit_beck(x: np.ndarray):
+    n = len(x)
+    t25, t75 = 0.25 * n, 0.75 * n
+    starts = [
+        np.array([0.0, 1.0, t25, 0.5, t75, 0.5]),
+        np.array([0.0, 1.0, t25, 0.1, t75, 0.1]),
+        np.array([0.1, 0.9, 0.4 * n, 1.0, 0.6 * n, 1.0]),
+    ]
+    rng = np.random.default_rng(7)
+    for _ in range(13):
+        starts.append(np.array([
+            rng.uniform(-0.2, 0.3), rng.uniform(0.5, 1.5),
+            rng.uniform(1, n / 2), np.exp(rng.uniform(np.log(0.02), np.log(2))),
+            rng.uniform(n / 2, n), np.exp(rng.uniform(np.log(0.02), np.log(2))),
+        ]))
+    return _fit_generic(x, beck_curve, starts, "beck")
+
+
+def fit_elmore(x: np.ndarray):
+    n = len(x)
+    starts = [
+        np.array([0.0, 1.0, 0.25 * n, 3.0, 0.75 * n, 3.0, 0.0]),
+        np.array([0.1, 0.9, 0.3 * n, 8.0, 0.7 * n, 8.0, 0.001]),
+    ]
+    rng = np.random.default_rng(11)
+    for _ in range(14):
+        starts.append(np.array([
+            rng.uniform(-0.2, 0.3), rng.uniform(0.5, 1.5),
+            rng.uniform(1, n / 2), np.exp(rng.uniform(np.log(0.5), np.log(20))),
+            rng.uniform(n / 2, n), np.exp(rng.uniform(np.log(0.5), np.log(20))),
+            rng.uniform(-0.002, 0.002),
+        ]))
+    return _fit_generic(x, elmore_curve, starts, "elmore")
+
+
+def fit_klosterman(x: np.ndarray):
+    n = len(x)
+    starts = [
+        np.array([0.0, 1.0, 0.0, 0.25 * n, 0.5, 1.0, 0.75 * n, 0.5, 1.0]),
+        np.array([0.1, 0.9, 0.0, 0.3 * n, 0.2, 2.0, 0.7 * n, 0.2, 2.0]),
+    ]
+    rng = np.random.default_rng(13)
+    for _ in range(14):
+        starts.append(np.array([
+            rng.uniform(-0.2, 0.3), rng.uniform(0.5, 1.5),
+            rng.uniform(-0.002, 0.002),
+            rng.uniform(1, n / 2), np.exp(rng.uniform(np.log(0.05), np.log(2))),
+            np.exp(rng.uniform(np.log(0.3), np.log(4))),
+            rng.uniform(n / 2, n), np.exp(rng.uniform(np.log(0.05), np.log(2))),
+            np.exp(rng.uniform(np.log(0.3), np.log(4))),
+        ]))
+    return _fit_generic(x, klosterman_curve, starts, "klosterman")
+
+
+FIT_FUNS = {
+    "gu": fit_gu,
+    "klosterman": fit_klosterman,
+    "beck": fit_beck,
+    "elmore": fit_elmore,
+    "no": fake_fit,
+}
+
+
+def fit_with_fallback(x, methods=("gu", "klosterman")):
+    """Reference retry chain (fit_curve.R:149-156): try each method in order;
+    success = fit did not error AND predicted is not all-NA."""
+    if isinstance(methods, str):
+        methods = (methods,)
+    for m in methods:
+        try:
+            out = FIT_FUNS[m](x)
+        except Exception:  # noqa: BLE001 — mirror R try(silent=TRUE)
+            out = None
+        if out is not None and not np.all(np.isnan(out["predicted"])):
+            return out
+    return None

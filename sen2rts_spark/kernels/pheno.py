@@ -20,9 +20,13 @@ import math
 
 import numpy as np
 
-__all__ = ["pheno_trs", "pheno_deriv", "TRS_METRICS"]
+__all__ = ["pheno_trs", "pheno_deriv", "pheno_gu", "pheno_kl",
+           "TRS_METRICS", "GU_METRICS", "KL_METRICS"]
 
 TRS_METRICS = ["sos", "eos", "los", "pop", "mgs", "rsp", "rau", "peak", "msp", "mau"]
+GU_METRICS = ["UD", "SD", "DD", "RD", "maxline", "baseline", "prr", "psr",
+              "plateau_slope"]
+KL_METRICS = ["Greenup", "Maturity", "Senescence", "Dormancy"]
 
 
 def _rround(v: float) -> float:
@@ -163,4 +167,123 @@ def pheno_deriv(x: np.ndarray, trs: float = 1.0, concavity: str = "up") -> dict:
 
     out.update(sos=sos, eos=eos, los=los, pop=pop, mgs=mgs, rsp=rsp, rau=rau,
                peak=float(peak), msp=_meanwin(sos), mau=_meanwin(eos))
+    return out
+
+
+def pheno_gu(x: np.ndarray) -> dict:
+    """Gu et al. 2009 "production recovery/senescence" metrics on a fitted
+    daily curve (method="gu" of extract_pheno.R:52-197; the reference
+    delegates to phenopix::PhenoGu — this is the published algorithm).
+
+    In 1-based index space:
+    - prr / psr: peak recovery rate (max day-to-day increase before the peak)
+      and peak senescence rate (most negative decrease after it);
+    - baseline / maxline: min / max of the fitted curve;
+    - the recovery line (tangent at the prr point) crosses baseline at UD
+      (upturn) and maxline at SD (stabilization);
+    - the senescence line crosses maxline at DD (downturn) and baseline at
+      RD (recession);
+    - plateau_slope: least-squares slope of the curve between SD and DD.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    nan = math.nan
+    out = {m: nan for m in GU_METRICS}
+    if n < 3 or np.all(np.isnan(x)):
+        return out
+    idx1 = np.arange(1, n + 1, dtype=np.float64)
+    peak = np.nanmax(x)
+    pop = int(np.median(idx1[x == peak]))
+    xd = np.concatenate(([np.nan], np.diff(x)))  # xd[i] = x[i] - x[i-1]
+    baseline = float(np.nanmin(x))
+    maxline = float(peak)
+    out["baseline"], out["maxline"] = baseline, maxline
+
+    with np.errstate(invalid="ignore"):
+        rise = np.where(idx1 <= pop, xd, np.nan)
+        fall = np.where(idx1 >= pop, xd, np.nan)
+    if np.all(np.isnan(rise)) or np.all(np.isnan(fall)):
+        return out
+    prr_i = int(np.nanargmax(rise))          # 0-based index into x
+    psr_i = int(np.nanargmin(fall))
+    prr = float(rise[prr_i])
+    psr = float(fall[psr_i])
+    out["prr"], out["psr"] = prr, psr
+    t_prr, t_psr = prr_i + 1.0, psr_i + 1.0  # 1-based
+
+    if prr > 0:
+        out["UD"] = t_prr - (x[prr_i] - baseline) / prr
+        out["SD"] = t_prr + (maxline - x[prr_i]) / prr
+    if psr < 0:
+        out["DD"] = t_psr + (maxline - x[psr_i]) / psr
+        out["RD"] = t_psr + (baseline - x[psr_i]) / psr
+
+    if not (math.isnan(out["SD"]) or math.isnan(out["DD"])):
+        lo = max(int(round(out["SD"])), 1)
+        hi = min(int(round(out["DD"])), n)
+        if hi - lo >= 1:
+            seg_t = np.arange(lo, hi + 1, dtype=np.float64)
+            seg_x = x[lo - 1:hi]
+            ok = ~np.isnan(seg_x)
+            if ok.sum() >= 2:
+                out["plateau_slope"] = float(
+                    np.polyfit(seg_t[ok], seg_x[ok], 1)[0])
+    return out
+
+
+def _local_extrema_ranked(v: np.ndarray):
+    """Indices of local extrema of v (0-based interior), strongest |v| first."""
+    d = np.diff(v)
+    sign = np.sign(d)
+    # replace zero-slope runs by the previous sign so plateaus count once
+    for i in range(1, len(sign)):
+        if sign[i] == 0:
+            sign[i] = sign[i - 1]
+    turns = np.flatnonzero(sign[1:] != sign[:-1]) + 1
+    turns = turns[np.isfinite(v[turns])]
+    return turns[np.argsort(-np.abs(v[turns]), kind="stable")]
+
+
+def pheno_kl(x: np.ndarray) -> dict:
+    """Klosterman method (method="klosterman" of extract_pheno.R; the
+    reference delegates to phenopix::PhenoKl): transition dates at the
+    extrema of the curvature-change rate K' of the fitted curve
+    (Zhang et al. 2003, RSE 84:471-475).
+
+    k = x'' / (1 + x'^2)^1.5; K' = dk/dt. In each half of the cycle
+    (split at the curve peak) the two strongest local extrema of K',
+    ordered in time, are the transition dates: (Greenup, Maturity) on the
+    rising half, (Senescence, Dormancy) on the falling half. 1-based indices.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    nan = math.nan
+    out = {m: nan for m in KL_METRICS}
+    if n < 7 or np.all(np.isnan(x)):
+        return out
+    idx1 = np.arange(1, n + 1, dtype=np.float64)
+    peak = np.nanmax(x)
+    pop = int(np.median(idx1[x == peak]))
+
+    d1 = np.gradient(x)
+    d2 = np.gradient(d1)
+    with np.errstate(invalid="ignore", over="ignore"):
+        k = d2 / (1.0 + d1 ** 2) ** 1.5
+    kd = np.gradient(k)
+
+    def _two(seg_lo, seg_hi):
+        # 0-based slice [seg_lo, seg_hi); returns two 1-based dates or NaNs
+        seg = kd[seg_lo:seg_hi]
+        if len(seg) < 5:
+            return nan, nan
+        cand = _local_extrema_ranked(seg)[:2]
+        if len(cand) == 0:
+            return nan, nan
+        dates = np.sort(cand[:2]) + seg_lo + 1.0
+        if len(dates) == 1:
+            return float(dates[0]), nan
+        return float(dates[0]), float(dates[1])
+
+    out["Greenup"], out["Maturity"] = _two(0, pop)
+    out["Senescence"], out["Dormancy"] = _two(pop - 1, n)
     return out

@@ -187,12 +187,15 @@ def detect_forages(ts: DataFrame, cycles: DataFrame,
                     ["id", "year"], "left")
 
 
-def fit_curves(filled: DataFrame, cycles: DataFrame, fit: str = "gu") -> DataFrame:
+def fit_curves(filled: DataFrame, cycles: DataFrame, fit="gu") -> DataFrame:
     """Per-cycle fitted curve, flattened to a long table — the Spark shape of
     the reference's nested fit object (s2fit_to_s2ts.R:6-20):
-    (id, year, cycle, date, value_fitted). Global rescale per fit_curve.R:112.
+    (id, year, cycle, date, value_fitted, fit_method). Global rescale per
+    fit_curve.R:112. ``fit`` is a method name or a fallback chain (reference
+    default c("gu","klosterman"), retry semantics fit_curve.R:149-156);
+    the method that succeeded is reported per cycle.
     """
-    from ..kernels.dlog import fake_fit, fit_gu
+    from ..kernels.dlog import fit_with_fallback
     from .grouped import grouped_apply
 
     gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
@@ -206,16 +209,18 @@ def fit_curves(filled: DataFrame, cycles: DataFrame, fit: str = "gu") -> DataFra
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf["value"].to_numpy(dtype=np.float64)
         relval = (vals - rescale[0]) / rescale[1]
-        fitted = fit_gu(relval) if fit == "gu" else fake_fit(relval)
+        fitted = fit_with_fallback(relval, fit)
         if fitted is None:
             return None
         return pd.DataFrame({
             "id": pdf["id"].iloc[0], "year": int(pdf["year"].iloc[0]),
             "cycle": int(pdf["cycle"].iloc[0]), "date": pdf["date"].to_numpy(),
             "value_fitted": rescale[0] + fitted["predicted"] * rescale[1],
+            "fit_method": fitted["method"],
         })
 
     return grouped_apply(
         joined, ["id", "year", "cycle"], _fn,
-        "id string, year int, cycle int, date date, value_fitted double",
+        "id string, year int, cycle int, date date, value_fitted double, "
+        "fit_method string",
         order=["date"])

@@ -22,12 +22,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..kernels.cycles import cut_cycles_series
-from ..kernels.dlog import fake_fit, fit_gu
-from ..kernels.pheno import pheno_deriv, pheno_trs
+from ..kernels.dlog import fit_with_fallback
+from ..kernels.pheno import pheno_deriv, pheno_gu, pheno_kl, pheno_trs
 from ..kernels.series import fill_series, smooth_series
 
 __all__ = ["smooth", "fill", "cut_cycles", "extract_pheno", "SMOOTH_SCHEMA",
-           "FILL_SCHEMA", "CYCLES_SCHEMA", "PHENO_SCHEMA"]
+           "FILL_SCHEMA", "CYCLES_SCHEMA", "PHENO_SCHEMA", "PHENO_GU_SCHEMA",
+           "PHENO_KL_SCHEMA"]
 
 SMOOTH_SCHEMA = ("id string, date date, orbit string, sensor string, "
                  "value double, qa double, rawval double")
@@ -37,6 +38,13 @@ CYCLES_SCHEMA = ("id string, year int, cycle int, begin date, end date, "
 PHENO_SCHEMA = (CYCLES_SCHEMA +
                 ", sos date, eos date, los int, pop date, mgs double, "
                 "rsp double, rau double, peak double, msp double, mau double")
+PHENO_GU_SCHEMA = (CYCLES_SCHEMA +
+                   ", UD date, SD date, DD date, RD date, maxline double, "
+                   "baseline double, prr double, psr double, "
+                   "plateau_slope double")
+PHENO_KL_SCHEMA = (CYCLES_SCHEMA +
+                   ", Greenup date, Maturity date, Senescence date, "
+                   "Dormancy date")
 
 _EPOCH = _dt.date(1970, 1, 1)
 
@@ -155,7 +163,7 @@ def cut_cycles(filled: DataFrame, **params) -> DataFrame:
     return grouped_apply(filled, ["id"], _fn, CYCLES_SCHEMA)
 
 
-def extract_pheno(filled: DataFrame, cycles: DataFrame, fit: str = "gu",
+def extract_pheno(filled: DataFrame, cycles: DataFrame, fit="gu",
                   method: str = "trs", trs: float = 0.5) -> DataFrame:
     """(obs_filled ⋈ cycles) → pheno metrics per cycle.
 
@@ -164,6 +172,14 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit: str = "gu",
     into the kernel closure. The cycle slice uses date ∈ [begin, end)
     (fit_curve.R:146), so the output `end` is cycles.end − 1 day
     (extract_pheno.R:104).
+
+    ``fit`` is a method name or a fallback chain like the reference default
+    ``("gu", "klosterman")`` (fit_curve.R:73,149-156). ``method`` selects the
+    extractor: "trs"/"derivatives" (sos..mau), "gu" (UD/SD/DD/RD + lines,
+    PHENO_GU_SCHEMA) or "klosterman" (Greenup..Dormancy, PHENO_KL_SCHEMA) —
+    extract_pheno.R:166-181. NOTE on "gu" date mapping: the reference maps
+    the RD date from the SD metric (extract_pheno.R:178 — an upstream quirk
+    we do NOT reproduce; RD here is the recession date itself).
     """
     gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
     rescale = (float(gmin), float(gmax) - float(gmin))
@@ -172,11 +188,32 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit: str = "gu",
     joined = joined.filter((F.col("date") >= F.col("begin"))
                            & (F.col("date") < F.col("end")))
 
+    if method in ("trs", "derivatives"):
+        schema = PHENO_SCHEMA
+        date_metrics = ("sos", "eos", "pop")
+        value_metrics = ("mgs", "peak", "msp", "mau")
+        raw_metrics = ("rsp", "rau")
+        int_metrics = ("los",)
+    elif method == "gu":
+        schema = PHENO_GU_SCHEMA
+        date_metrics = ("UD", "SD", "DD", "RD")
+        value_metrics = ("maxline", "baseline")
+        raw_metrics = ("prr", "psr", "plateau_slope")
+        int_metrics = ()
+    elif method == "klosterman":
+        schema = PHENO_KL_SCHEMA
+        date_metrics = ("Greenup", "Maturity", "Senescence", "Dormancy")
+        value_metrics = ()
+        raw_metrics = ()
+        int_metrics = ()
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("date")
         vals = pdf["value"].to_numpy(dtype=np.float64)
         relval = (vals - rescale[0]) / rescale[1]
-        fitted = fit_gu(relval) if fit == "gu" else fake_fit(relval)
+        fitted = fit_with_fallback(relval, fit)
         base = {
             "id": pdf["id"].iloc[0], "year": int(pdf["year"].iloc[0]),
             "cycle": int(pdf["cycle"].iloc[0]),
@@ -185,13 +222,17 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit: str = "gu",
             "weight": float(pdf["weight"].iloc[0]),
         }
         if fitted is None:
-            m = {k: float("nan") for k in
-                 ("sos", "eos", "los", "pop", "mgs", "rsp", "rau", "peak",
-                  "msp", "mau")}
+            m = {k: float("nan")
+                 for k in (*date_metrics, *value_metrics, *raw_metrics,
+                           *int_metrics)}
         elif method == "trs":
             m = pheno_trs(fitted["predicted"], trs)
-        else:
+        elif method == "derivatives":
             m = pheno_deriv(fitted["predicted"], 1.0)
+        elif method == "gu":
+            m = pheno_gu(fitted["predicted"])
+        else:
+            m = pheno_kl(fitted["predicted"])
         begin = base["begin"]
         if hasattr(begin, "date"):
             begin = begin.date() if not isinstance(begin, _dt.date) else begin
@@ -201,18 +242,19 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit: str = "gu",
                 return None
             return begin + _dt.timedelta(days=int(round(v)) - 1)
 
-        return pd.DataFrame([{
-            **base,
-            "sos": _to_date(m["sos"]), "eos": _to_date(m["eos"]),
-            "los": None if np.isnan(m["los"]) else int(m["los"]),
-            "pop": _to_date(m["pop"]),
-            "mgs": rescale[0] + m["mgs"] * rescale[1],
-            "rsp": m["rsp"], "rau": m["rau"],
-            "peak": rescale[0] + m["peak"] * rescale[1],
-            "msp": rescale[0] + m["msp"] * rescale[1],
-            "mau": rescale[0] + m["mau"] * rescale[1],
-        }])
+        row = dict(base)
+        for k in date_metrics:
+            row[k] = _to_date(m[k])
+        for k in value_metrics:
+            row[k] = rescale[0] + m[k] * rescale[1]
+        for k in raw_metrics:
+            row[k] = m[k]
+        for k in int_metrics:
+            row[k] = None if np.isnan(m[k]) else int(m[k])
+        return pd.DataFrame([row])[cols]
+
+    cols = [f.strip().split()[0] for f in schema.split(",")]
 
     from .grouped import grouped_apply
-    return grouped_apply(joined, ["id", "year", "cycle"], _fn, PHENO_SCHEMA,
+    return grouped_apply(joined, ["id", "year", "cycle"], _fn, schema,
                          order=["date"])

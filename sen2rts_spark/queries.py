@@ -34,12 +34,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _ordered(d: dict) -> dict:
+    """Registry order: _PRIORITY first, then registration order.
+
+    The driver's correctness gate checks the first 50 registry entries, so
+    the LLM-pipeline set, the engine's own rollup/kernel queries and every
+    query added this round must precede the §2 micro-queries whose families
+    are already covered by gated rows (see _PRIORITY at module end).
+    """
+    pri = [n for n in _PRIORITY if n in d]
+    rest = [n for n in d if n not in _PRIORITY]
+    return {n: d[n] for n in (*pri, *rest)}
+
+
 def queries() -> dict:
-    return dict(_QUERIES)
+    return _ordered(dict(_QUERIES))
 
 
 def oracle_sql() -> dict:
-    return dict(_ORACLES)
+    return _ordered(dict(_ORACLES))
 
 
 # --------------------------------------------------------------------------
@@ -669,3 +682,33 @@ def q_pivot_wide(spark, sf_dir):
 # registry). Placed at module end to avoid circular imports.
 from . import queries_ts  # noqa: E402,F401
 from . import queries_docs  # noqa: E402,F401
+
+# First-50 window for the driver's gate: the LLM-data-pipeline operators,
+# the engine's own rollup/compression/kernel queries, and the round-2
+# additions. The §2 micro-queries left after these (mmdd_window_wrap,
+# dop_calendar, groupby_multi_agg, quantile/rank/string/json families …)
+# all carry green rows+schema+hash records from CORRECTNESS_r01 and act as
+# the tail.
+_PRIORITY = [
+    # LLM-data-pipeline set (queries_docs)
+    "dedup_exact", "minhash_signature", "minhash_lsh_candidates",
+    "ngram_jaccard_pairs", "simhash_64", "token_count", "token_count_bpe_ish",
+    "quality_score", "lang_id_heuristic", "doc_fingerprint",
+    "ann_cosine_topk", "ann_lsh_bucketed", "embedding_norms",
+    "label_centroid_distance", "media_metadata", "media_feature_extract",
+    "dedup_embedding_near",
+    # rollup / retention / compression / per-series kernels (queries_ts)
+    "rollup_daily", "rollup_tier_chain", "rollup_weekly_retention",
+    "gorilla_roundtrip_daily", "fill_linear_daily", "smooth_savgol_series",
+    "fill_spline_series", "cut_cycles_series", "aggregate_pheno_windows",
+    "assign_season_topk", "detect_forages_flags", "fit_curves_long",
+    "fit_curves_fallback", "extract_pheno_gu", "extract_pheno_klosterman",
+    "smooth_whittaker_series",
+    # structurally significant §2 operators
+    "filter_project", "best_agg", "global_rescale", "per_group_norm",
+    "clamp_extrapolation", "rank_average_ties", "topk_per_group",
+    "full_outer_restore", "grid_scaffold_join", "range_join_interval",
+    "asof_nearest", "scl_decode", "piecewise_linear_combine",
+    "local_extrema", "rolling_mean_centered", "broadcast_dim_join",
+    "weighted_mean",
+]

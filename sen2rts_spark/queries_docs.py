@@ -382,26 +382,42 @@ def q_ann_cosine_topk(spark, sf_dir):
         .filter(F.col("rk") <= 5).select("qid", "vec_id", "sim")
 
 
-@register("ann_lsh_bucketed")
+# ANN-LSH hyperplane family: bit i = sign of embedding[2i] - embedding[2i+1]
+# (normal e_2i - e_2i+1 — deterministic, distinct from the sign-bucket family
+# used by dedup_embedding_near, and exactly expressible in both engines).
+ANN_LSH_BITS = 6
+ANN_SIM_THR = 0.3
+_ANN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{2 * i + 1}] - embedding[{2 * i + 2}] >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(ANN_LSH_BITS))
+
+
+@register("ann_lsh_bucketed", f"""
+WITH bk AS (
+  SELECT vec_id, embedding, {_ANN_BUCKET_SQL} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, a.bucket,
+         list_dot_product(a.embedding, b.embedding)
+         / (sqrt(list_dot_product(a.embedding, a.embedding))
+            * sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT va, vb, ROUND(sim, 4) AS sim, bucket
+FROM pairs WHERE sim >= {ANN_SIM_THR}
+""")
 def q_ann_lsh_bucketed(spark, sf_dir):
-    """Scale path: random-hyperplane LSH — embeddings hashed into sign
-    buckets by 8 deterministic pseudo-hyperplanes; neighbors searched within
-    the bucket only (bucket = shuffle key). Rows-only check (float sign
-    boundaries are engine-sensitive)."""
+    """Scale path for similarity search: hyperplane LSH — embeddings hashed
+    into {2**ANN_LSH_BITS} sign buckets by coordinate-difference hyperplanes;
+    neighbors searched within the bucket only (bucket = the shuffle key, no
+    all-pairs join). The deterministic hyperplane family makes the whole
+    path oracle-able; production would use seeded random normals + multiple
+    tables, same plan shape."""
     e = load(spark, sf_dir, "embeddings")
-
-    def _fn(batches):
-        rng = np.random.default_rng(7)
-        planes = rng.standard_normal((8, 64))
-        for pdf in batches:
-            emb = np.stack(pdf["embedding"].to_numpy())
-            signs = (emb @ planes.T) >= 0
-            bucket = (signs * (1 << np.arange(8))).sum(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"],
-                                "bucket": bucket.astype(np.int64)})
-
-    buckets = e.mapInPandas(_fn, "vec_id long, bucket long")
-    withb = e.join(buckets, "vec_id")
+    bucket = sum(
+        (F.when(F.col("embedding")[2 * i] - F.col("embedding")[2 * i + 1] >= 0,
+                F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(ANN_LSH_BITS)), start=F.lit(0))
+    withb = e.withColumn("bucket", bucket)
     a = withb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
                      "bucket")
     b = withb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
@@ -414,7 +430,7 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     nb = ("sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     sim = F.expr(dot) / (F.expr(na) * F.expr(nb))
     return j.select("va", "vb", F.round(sim, 4).alias("sim"), "bucket") \
-        .filter(F.col("sim") > 0.5)
+        .filter(sim >= ANN_SIM_THR)
 
 
 @register("embedding_norms", """
@@ -444,9 +460,10 @@ FROM un u JOIN cent c ON u.label = c.label AND u.i = c.i
 GROUP BY u.vec_id, u.label
 """)
 def q_label_centroid_distance(spark, sf_dir):
-    """IVF building block: per-label centroid + distance of each member."""
+    """IVF building block: per-label centroid + distance of each member.
+    The embedding width is read from the data (one-row probe), not assumed."""
     e = load(spark, sf_dir, "embeddings")
-    dim = 64
+    dim = e.select(F.size("embedding")).first()[0]
     cent = e.groupBy("label").agg(*[
         F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
         for i in range(dim)])

@@ -304,10 +304,61 @@ def q_assign_season_topk(spark, sf_dir):
     return out.select("id", "year", "cycle", "season")
 
 
-@register("detect_forages_flags")
+@register("detect_forages_flags", f"""
+WITH cyc0 AS ({{_CYCLES_SQL}}),
+cyc AS (SELECT * FROM cyc0 WHERE "end" IS NOT NULL),
+daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         CAST(date_trunc('day', ts) AS DATE) AS date,
+         AVG(value) AS indexvalue
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+tsd AS (
+  SELECT id, date, indexvalue,
+         (indexvalue - MIN(indexvalue) OVER (PARTITION BY id))
+         / NULLIF(MAX(indexvalue) OVER (PARTITION BY id)
+                  - MIN(indexvalue) OVER (PARTITION BY id), 0) AS relindexval
+  FROM daily),
+tsd2 AS (
+  SELECT *, relindexval - LAG(relindexval) OVER w AS drel
+  FROM tsd WINDOW w AS (PARTITION BY id ORDER BY date)),
+tsd3 AS (
+  SELECT *, (drel <= 0.01 AND LEAD(drel) OVER w >= 0.01) AS bg0,
+            (drel <= -0.01 AND LEAD(drel) OVER w >= -0.01) AS es0
+  FROM tsd2 WINDOW w AS (PARTITION BY id ORDER BY date)),
+cand AS (
+  SELECT id, date, bg0, es0,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY date) AS _rn
+  FROM tsd3 WHERE bg0 OR es0),
+cand2 AS (
+  SELECT id, date,
+         bg0 AND NOT COALESCE(LAG(bg0) OVER wc, FALSE) AS bg1,
+         es0 AND NOT COALESCE(LEAD(es0) OVER wc, FALSE) AS es1
+  FROM cand WINDOW wc AS (PARTITION BY id ORDER BY _rn)),
+tsd4 AS (
+  SELECT t.*, COALESCE(c.bg1, FALSE) OR COALESCE(c.es1, FALSE) AS cut
+  FROM tsd3 t LEFT JOIN cand2 c ON t.id = c.id AND t.date = c.date),
+tsd5 AS (
+  SELECT *, AVG(ABS(drel)) OVER (PARTITION BY id ORDER BY date
+            ROWS BETWEEN 45 PRECEDING AND 44 FOLLOWING) AS rollval
+  FROM tsd4),
+diffsum AS (
+  SELECT t.id, c.year,
+         quantile_cont(t.rollval, 0.75) * 365 AS diff,
+         SUM(CASE WHEN t.cut THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 365 AS ncuts
+  FROM tsd5 t JOIN cyc c
+    ON t.id = c.id AND t.date >= c.begin AND t.date < c."end"
+  GROUP BY t.id, c.year)
+SELECT c.id, c.year, c.cycle, c.begin, c."end",
+       c.begin AS maxval, 1.0 AS weight,
+       ROUND(d.diff, 6) AS diff, ROUND(d.ncuts, 6) AS ncuts,
+       (d.diff > 0.5 AND d.ncuts > 5.0) AS forage
+FROM cyc c LEFT JOIN diffsum d ON c.id = d.id AND c.year = d.year
+""".replace("{_CYCLES_SQL}", _CYCLES_SQL))
 def q_detect_forages_flags(spark, sf_dir):
-    """W7/A8 composite: detect_forages over daily event series — rows-only
-    (the centered frollmean + quantile pipeline is checked by structure)."""
+    """W7/A8 composite: detect_forages over daily event series
+    (detect_forages.R:56-145 — a pure window/join plan, so the whole
+    pipeline incl. the centered rolling mean and the type-7 75% quantile is
+    oracled in SQL)."""
     from .operators.pheno_tools import detect_forages
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
@@ -316,7 +367,11 @@ def q_detect_forages_flags(spark, sf_dir):
     cycles = _cycles_from_signups(spark, sf_dir).filter(F.col("end").isNotNull()) \
         .withColumn("maxval", F.col("begin")) \
         .withColumn("weight", F.lit(1.0))
-    return detect_forages(daily, cycles, diff_thr=0.5, ncuts_thr=5.0)
+    out = detect_forages(daily, cycles, diff_thr=0.5, ncuts_thr=5.0)
+    return out.select("id", "year", "cycle", "begin", "end", "maxval",
+                      "weight",
+                      F.round("diff", 6).alias("diff"),
+                      F.round("ncuts", 6).alias("ncuts"), "forage")
 
 
 @register("fit_curves_long")
@@ -343,6 +398,69 @@ def q_fit_curves_long(spark, sf_dir):
                       F.lit(1.0).alias("qa"), F.col("value").alias("rawval"))
     filled = fill(sm).filter(F.col("id").cast("int") < 5)
     return fit_curves(filled, cycles, fit="no")
+
+
+def _small_filled_cycles(spark, sf_dir, n_ids=3):
+    """Tiny daily-filled series + one synthetic cycle per id (shared setup
+    for the NLS-fit / pheno-extractor queries — the fits are CPU-heavy)."""
+    from .operators.timeseries import fill
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
+                      F.to_date("ts").alias("date")) \
+        .agg(F.avg("value").alias("value")) \
+        .filter(F.col("id").cast("int") < n_ids)
+    bounds = daily.groupBy("id").agg(
+        F.min("date").alias("begin"),
+        F.date_add(F.max("date"), 1).alias("end"))
+    cycles = bounds.select(
+        "id", F.lit(2024).alias("year"), F.lit(1).alias("cycle"),
+        "begin", "end",
+        F.col("begin").alias("maxval"), F.lit(1.0).alias("weight"))
+    sm = daily.select("id", "date", F.lit("000").alias("orbit"),
+                      F.lit("2A").alias("sensor"), "value",
+                      F.lit(1.0).alias("qa"), F.col("value").alias("rawval"))
+    filled = fill(sm).filter(F.col("id").cast("int") < n_ids)
+    return filled, cycles
+
+
+@register("fit_curves_fallback")
+def q_fit_curves_fallback(spark, sf_dir):
+    """C12 variants: Klosterman/Beck/Elmore double-logistic fits with the
+    reference retry chain (fit_curve.R:73,116-129,149-156) — rows-only
+    (NLS not SQL-expressible). fit_method reports which link succeeded."""
+    from .operators.pheno_tools import fit_curves
+    filled, cycles = _small_filled_cycles(spark, sf_dir, n_ids=3)
+    return fit_curves(filled, cycles, fit=("klosterman", "beck", "elmore")) \
+        .select("id", "year", "cycle", "date",
+                F.round("value_fitted", 6).alias("value_fitted"),
+                "fit_method")
+
+
+@register("extract_pheno_gu")
+def q_extract_pheno_gu(spark, sf_dir):
+    """extract_pheno(method="gu"): UD/SD/DD/RD dates + maxline/baseline/
+    prr/psr/plateau_slope (extract_pheno.R:166-181; Gu et al. 2009) —
+    rows-only (NLS + tangent intersections not SQL-expressible)."""
+    from .operators.timeseries import extract_pheno
+    filled, cycles = _small_filled_cycles(spark, sf_dir, n_ids=3)
+    out = extract_pheno(filled, cycles, fit=("beck", "no"), method="gu")
+    return out.select("id", "year", "cycle", "begin", "end",
+                      "UD", "SD", "DD", "RD",
+                      F.round("maxline", 6).alias("maxline"),
+                      F.round("baseline", 6).alias("baseline"))
+
+
+@register("extract_pheno_klosterman")
+def q_extract_pheno_klosterman(spark, sf_dir):
+    """extract_pheno(method="klosterman"): Greenup/Maturity/Senescence/
+    Dormancy via curvature-change-rate extrema (Zhang et al. 2003) —
+    rows-only."""
+    from .operators.timeseries import extract_pheno
+    filled, cycles = _small_filled_cycles(spark, sf_dir, n_ids=3)
+    out = extract_pheno(filled, cycles, fit=("beck", "no"),
+                        method="klosterman")
+    return out.select("id", "year", "cycle", "begin", "end",
+                      "Greenup", "Maturity", "Senescence", "Dormancy")
 
 
 @register("smooth_whittaker_series")

@@ -1,10 +1,13 @@
 """Two-parallelism scaling protocol (BASELINE.md): run the identical rollup
-job at local[8] (N) and local[32] (4N) on the same input, ≥3 runs each,
-median points/sec, efficiency = (T_4N / T_N) / 4. Writes BENCH/SCALING.json
-and prints a summary.
+job at local[8] (N) and local[32] (4N) on the same input, INTERLEAVED —
+rep k at N runs back-to-back with rep k at 4N — so a host CPU-steal burst
+(documented ±2-4x on this sandbox) lands on both levels, not just one phase.
+Writes BENCH/SCALING.json and prints a summary.
 
-Each measurement runs in a fresh subprocess (fresh JVM) so the two levels
-don't share executor state.
+Each level lives in its own long-lived subprocess (own JVM, own Python
+worker pool, warmed once); the parent sends one "run" command per rep,
+alternating levels. Efficiency = median_pps(4N) / median_pps(N) / 4, plus
+per-pair ratios for transparency.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ import os
 import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -21,12 +25,12 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 import pyspark.sql.functions as F
-from sen2rts_spark.session import get_spark
+from sen2rts_spark.session import get_spark, prewarm_python_workers
 from sen2rts_spark.operators.extract import extract_obs
 from sen2rts_spark.operators.rollup import rollup_raw
 from sen2rts_spark.operators.gorilla_sink import encode_blobs
 
-cores = int(sys.argv[1]); pages_path = sys.argv[2]; reps = int(sys.argv[3])
+cores = int(sys.argv[1]); pages_path = sys.argv[2]
 spark = get_spark("scaling-%%d" %% cores, cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -36,26 +40,55 @@ def run_pipeline():
     blobs = encode_blobs(rollup_raw(obs, "daily"), "daily")
     return blobs.agg(F.sum("count")).first()[0]
 
-# warm-up: JVM JIT, parquet footers AND the Python worker pool (forking +
-# numpy/pandas import across all cores must not land in the timed section)
+# warm-up (untimed): worker pool on an idle JVM, then one full pass for JIT
+prewarm_python_workers(spark)
 run_pipeline()
-out = []
-for _ in range(reps):
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() != "run":
+        break
     t0 = time.time()
     n = run_pipeline()
     dt = time.time() - t0
-    out.append({"cores": cores, "sec": dt, "points": int(n), "pps": n / dt})
-print(json.dumps(out))
+    print(json.dumps({"cores": cores, "sec": dt, "points": int(n),
+                      "pps": n / dt, "t_end": time.time()}), flush=True)
 spark.stop()
 """
 
 
-def run_level(cores: int, pages_path: str, reps: int) -> list[dict]:
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD % {"repo": REPO}, str(cores), pages_path,
-         str(reps)],
-        capture_output=True, text=True, check=True, cwd=REPO)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+class Level:
+    def __init__(self, cores: int, pages_path: str):
+        self.cores = cores
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", CHILD % {"repo": REPO}, str(cores),
+             pages_path],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd=REPO)
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"child local[{cores}] died during warmup")
+            if line.strip() == "READY":
+                break
+
+    def run_once(self) -> dict:
+        self.proc.stdin.write("run\n")
+        self.proc.stdin.flush()
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"child local[{self.cores}] died")
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+
+    def close(self):
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+        except Exception:
+            pass
+        self.proc.wait(timeout=60)
 
 
 def main():
@@ -79,26 +112,39 @@ def main():
                 while f.read(1 << 24):
                     pass
 
-    results = {}
-    for cores in levels:
-        samples = run_level(cores, pages_path, runs)
-        steady = samples[1:] if len(samples) > 1 else samples  # drop 1st rep
-        pps = [s["pps"] for s in steady]
-        results[f"local[{cores}]"] = {
-            "runs": samples,
+    children = {c: Level(c, pages_path) for c in levels}
+    samples: dict[int, list] = {c: [] for c in levels}
+    t_start = time.time()
+    for rep in range(runs):
+        for c in levels:  # interleaved: rep k of every level back-to-back
+            s = children[c].run_once()
+            samples[c].append(s)
+            print(f"rep {rep + 1}/{runs} local[{c}]: {s['sec']:.1f}s "
+                  f"{s['pps'] / 1000:.0f}k pts/s", flush=True)
+    for ch in children.values():
+        ch.close()
+
+    results = {"protocol": "interleaved", "wall_sec": round(time.time() - t_start, 1)}
+    for c in levels:
+        pps = [s["pps"] for s in samples[c]]
+        results[f"local[{c}]"] = {
+            "runs": samples[c],
             "median_pps": statistics.median(pps),
-            "median_sec": statistics.median(s["sec"] for s in steady),
-            "points": samples[0]["points"],
+            "median_sec": statistics.median(s["sec"] for s in samples[c]),
+            "points": samples[c][0]["points"],
         }
-        print(f"local[{cores}]: median {results[f'local[{cores}]']['median_pps']:.0f} points/sec")
+        print(f"local[{c}]: median {results[f'local[{c}]']['median_pps']:.0f} points/sec")
 
     for lo, hi in zip(levels, levels[1:]):
         if hi == lo * 4:
             eff = (results[f"local[{hi}]"]["median_pps"]
                    / results[f"local[{lo}]"]["median_pps"] / 4)
+            pairs = [round(h["pps"] / l["pps"] / 4, 3)
+                     for l, h in zip(samples[lo], samples[hi])]
             results[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+            results[f"per_pair_efficiency_{lo}_to_{hi}"] = pairs
             print(f"scaling efficiency (N={lo} -> 4N={hi}): {eff:.3f} "
-                  f"(target >= 0.8)")
+                  f"(per-pair {pairs}; target >= 0.8)")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
