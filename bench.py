@@ -83,7 +83,7 @@ def main() -> None:
     from sen2rts_spark.queries import queries
     from sen2rts_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark = get_spark("bench", cores=cpus)  # shuffle partitions: 3x cores (session default)
     spark.sparkContext.setLogLevel("ERROR")
     # make the package importable on executor workers regardless of CWD,
     # then create the full Python worker pool while the JVM is idle (worker

@@ -41,9 +41,54 @@ from .sources.paths import load_s2paths  # noqa: F401
 
 __all__ = ["extract_s2ts", "smooth_s2ts", "fill_s2ts", "cut_cycles",
            "fit_curve", "extract_pheno", "aggregate_pheno", "assign_season",
-           "detect_forages", "load_s2paths"]
+           "detect_forages", "load_s2paths", "as_s2ts", "print_s2ts"]
+
+# column contract of an s2ts table (s2ts-class.R:56-96: mandatory date/id/
+# value, optional orbit/sensor/quality + stage-added columns)
+S2TS_REQUIRED = ("id", "date", "value")
+S2TS_OPTIONAL = ("orbit", "sensor", "qa", "rawval", "interpolated")
 
 
 def extract_s2ts(pages, fun: str = "mean"):
     """pages(url, warc_ts, html, text, lang) → obs_raw (extract_s2ts.R:370-420)."""
     return _extract_obs(pages, fun=fun)
+
+
+def as_s2ts(df, id_col: str = "id", date_col: str = "date",
+            value_col: str = "value"):
+    """Coerce a DataFrame to the s2ts column contract (as.s2ts,
+    s2ts-class.R:234-273): rename the key columns, check the mandatory
+    trio, order by (id, date). Unknown extra columns pass through, like the
+    reference keeps extra data.table columns."""
+    import pyspark.sql.functions as F
+    out = df
+    for src, dst in ((id_col, "id"), (date_col, "date"), (value_col, "value")):
+        if src != dst:
+            out = out.withColumnRenamed(src, dst)
+    missing = [c for c in S2TS_REQUIRED if c not in out.columns]
+    if missing:
+        raise ValueError(f"not an s2ts table: missing column(s) {missing}")
+    out = out.withColumn("date", F.col("date").cast("date"))
+    return out.orderBy("id", "date")
+
+
+def print_s2ts(df, n: int = 10) -> str:
+    """Textual preview in the shape of print.s2ts (s2ts-class.R:369-414):
+    a header with series count / date range / column list, then the first
+    ``n`` rows. Returns the string (and prints it) — the reference's plot
+    surface is out of scope for a headless engine."""
+    import pyspark.sql.functions as F
+    stats = df.agg(
+        F.countDistinct("id").alias("n_id"),
+        F.min("date").alias("d0"), F.max("date").alias("d1"),
+        F.count(F.lit(1)).alias("rows")).first()
+    head = df.orderBy("id", "date").limit(n)
+    lines = [
+        f"# s2ts table: {stats['rows']} records, {stats['n_id']} series, "
+        f"dates {stats['d0']} .. {stats['d1']}",
+        f"# columns: {', '.join(df.columns)}",
+        head._show_string(n, 0, False),
+    ]
+    text = "\n".join(lines)
+    print(text)
+    return text

@@ -36,7 +36,10 @@ def encode_blobs(tier_df: DataFrame, tier: str, chunk_days: int = 366,
     chunk_secs = chunk_days * 86400
     with_chunk = tier_df.withColumn(
         "chunk", F.window("bucket_start", f"{chunk_secs} seconds")["start"])
-    parts = num_partitions or tier_df.sparkSession.sparkContext.defaultParallelism
+    # 3 tasks/core (standard sizing): a straggling core delays the stage by
+    # ~1/3 task instead of a whole partition's worth of work
+    parts = num_partitions or \
+        3 * tier_df.sparkSession.sparkContext.defaultParallelism
     arranged = with_chunk.select("id", "chunk", "bucket_start", "value") \
         .repartition(parts, "id", "chunk") \
         .sortWithinPartitions("id", "chunk", "bucket_start")

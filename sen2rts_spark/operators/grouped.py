@@ -32,7 +32,9 @@ def grouped_apply(df: DataFrame, keys: list[str], fn: Callable, schema: str,
     ``order``: optional within-group sort columns (groups arrive to ``fn``
     sorted by ``keys + order``).
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # 3 tasks/core (standard sizing) — straggler/steal mitigation; groups are
+    # small relative to partitions so the extra splits don't fragment runs
+    parts = num_partitions or 3 * df.sparkSession.sparkContext.defaultParallelism
     arranged = df.repartition(parts, *keys) \
         .sortWithinPartitions(*(keys + (order or [])))
 

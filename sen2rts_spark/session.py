@@ -62,9 +62,13 @@ def get_spark(app: str = "sen2rts_spark", cores: int | None = None,
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
-        # one-to-one with cores: per-series pandas-UDF stages are CPU-bound
-        # and the bench compares parallelism levels, so keep it proportional
-        shuffle_partitions = max(cores, 4)
+        # 3 tasks per core (the standard Spark sizing guidance): finer
+        # granularity lets the scheduler route around stalled/stolen cores —
+        # with 1 task/core ANY straggler extends every stage barrier by its
+        # full stall. Measured on the 24M-point pipeline: 50.3 s -> 37.6 s
+        # at local[32], 85.7 -> 75.8 s at local[8]. AQE still coalesces
+        # post-shuffle partitions where they end up small.
+        shuffle_partitions = max(3 * cores, 12)
     b = (
         SparkSession.builder.appName(app)
         .master(f"local[{cores}]")

@@ -50,3 +50,21 @@ def test_pheno_deriv_smoke():
     assert m["rsp"] > 0 > m["rau"]
     assert m["los"] == m["eos"] - m["sos"]
     assert abs(m["pop"] - float(np.argmax(x) + 1)) <= 1
+
+
+def test_as_s2ts_and_print(spark):
+    from sen2rts_spark.api import as_s2ts, print_s2ts
+    import pytest
+    df = spark.createDataFrame(
+        [("u1", "2020-01-01", 0.5), ("u1", "2020-01-06", 0.6),
+         ("u2", "2020-01-01", 0.2)],
+        "url string, day string, ndvi double")
+    ts = as_s2ts(df, id_col="url", date_col="day", value_col="ndvi")
+    assert ts.columns[:3] == ["url", "day", "ndvi"] or \
+        {"id", "date", "value"} <= set(ts.columns)
+    rows = ts.collect()
+    assert rows[0]["id"] == "u1" and str(rows[0]["date"]) == "2020-01-01"
+    txt = print_s2ts(ts, n=2)
+    assert "3 records, 2 series" in txt and "2020-01-06" in txt
+    with pytest.raises(ValueError):
+        as_s2ts(df.select("url"), id_col="url")

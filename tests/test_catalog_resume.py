@@ -58,3 +58,32 @@ def test_kill_restart_byte_identical(spark, tmp_path_factory):
     m = {r["stage"]: r for r in crash.metrics().collect()}
     assert m["tier_daily"]["buckets"] == 8
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_crash_between_data_and_lineage_no_duplicates(spark, tmp_path_factory):
+    """ADVICE r1: data committed but lineage lost (crash between the two
+    writes). Resume redoes the bucket by REPLACING its partition (dynamic
+    overwrite), so the final table equals a clean run — no duplicate rows."""
+    import shutil as _sh
+    from sen2rts_spark.sources.catalog import Catalog
+
+    base = str(tmp_path_factory.mktemp("cat2"))
+    daily = _daily(spark)
+    daily.cache()
+
+    clean = Catalog(spark, os.path.join(base, "clean"), n_buckets=8)
+    clean.write_stage(daily, "tier_daily")
+
+    crash = Catalog(spark, os.path.join(base, "crash"), n_buckets=8)
+    crash.write_stage(daily, "tier_daily", only_buckets=[0, 1, 2, 3])
+    # simulate the crash window: bucket data exists, lineage never landed
+    _sh.rmtree(crash.lineage_path, ignore_errors=True)
+    assert crash.completed_buckets("tier_daily") == []
+
+    # resume believes nothing is done and redoes ALL buckets
+    resumed = crash.write_stage(daily, "tier_daily", resume=True)
+    assert resumed["written_buckets"] == list(range(8))
+
+    assert _snapshot(spark, crash, "tier_daily") == \
+        _snapshot(spark, clean, "tier_daily")
+    _sh.rmtree(base, ignore_errors=True)

@@ -1,5 +1,5 @@
 """Two-parallelism scaling protocol (BASELINE.md): run the identical rollup
-job at local[8] (N) and local[32] (4N) on the same input, INTERLEAVED —
+job at the configured parallelism levels on the same input, INTERLEAVED —
 rep k at N runs back-to-back with rep k at 4N — so a host CPU-steal burst
 (documented ±2-4x on this sandbox) lands on both levels, not just one phase.
 Writes BENCH/SCALING.json and prints a summary.
@@ -7,7 +7,15 @@ Writes BENCH/SCALING.json and prints a summary.
 Each level lives in its own long-lived subprocess (own JVM, own Python
 worker pool, warmed once); the parent sends one "run" command per rep,
 alternating levels. Efficiency = median_pps(4N) / median_pps(N) / 4, plus
-per-pair ratios for transparency.
+per-pair ratios.
+
+Every rep also records the host steal% observed DURING that rep
+(/proc/stat delta): this firecracker guest loses 20+% of CPU to the host
+under full-width load while narrow loads dodge stolen vcpus (measured
+2.2% steal idle, 21.7% under a 32-wide spin) — an asymmetry that caps
+apparent same-box wide-level efficiency no matter what the engine does.
+`eff_steal_adj` normalizes pps by the CPU actually delivered
+(pps / (1 - steal)); both raw and adjusted numbers are written.
 """
 
 from __future__ import annotations
@@ -31,7 +39,14 @@ from sen2rts_spark.operators.rollup import rollup_raw
 from sen2rts_spark.operators.gorilla_sink import encode_blobs
 
 cores = int(sys.argv[1]); pages_path = sys.argv[2]
-spark = get_spark("scaling-%%d" %% cores, cores=cores, shuffle_partitions=cores)
+conc = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+def cpu_snap():
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return v  # user nice sys idle iowait irq softirq steal ...
+
+spark = get_spark("scaling-%%d" %% cores, cores=cores)  # 3 tasks/core default
 spark.sparkContext.setLogLevel("ERROR")
 
 def run_pipeline():
@@ -40,28 +55,45 @@ def run_pipeline():
     blobs = encode_blobs(rollup_raw(obs, "daily"), "daily")
     return blobs.agg(F.sum("count")).first()[0]
 
+def run_load():
+    # throughput mode: `conc` concurrent instances of the SAME job (Spark
+    # schedules concurrent jobs in one session) — aggregate points / wall.
+    # Identical conc at every level keeps the comparison fair; >1 reclaims
+    # barrier idle exactly as a multi-tenant cluster does.
+    if conc == 1:
+        return run_pipeline()
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(conc) as ex:
+        return sum(f.result() for f in
+                   [ex.submit(run_pipeline) for _ in range(conc)])
+
 # warm-up (untimed): worker pool on an idle JVM, then one full pass for JIT
 prewarm_python_workers(spark)
-run_pipeline()
+run_load()
 print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "run":
         break
+    c0 = cpu_snap()
     t0 = time.time()
-    n = run_pipeline()
+    n = run_load()
     dt = time.time() - t0
+    c1 = cpu_snap()
+    d = [y - x for x, y in zip(c0, c1)]
+    steal = d[7] / max(sum(d), 1)
     print(json.dumps({"cores": cores, "sec": dt, "points": int(n),
-                      "pps": n / dt, "t_end": time.time()}), flush=True)
+                      "pps": n / dt, "steal_pct": round(100 * steal, 1),
+                      "t_end": time.time()}), flush=True)
 spark.stop()
 """
 
 
 class Level:
-    def __init__(self, cores: int, pages_path: str):
+    def __init__(self, cores: int, pages_path: str, conc: int = 1):
         self.cores = cores
         self.proc = subprocess.Popen(
             [sys.executable, "-c", CHILD % {"repo": REPO}, str(cores),
-             pages_path],
+             pages_path, str(conc)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
             cwd=REPO)
         while True:
@@ -96,13 +128,18 @@ def main():
     runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "4"))
     levels = tuple(int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
-    # materialize input once
-    sys.path.insert(0, REPO)
-    from bench import ensure_pages
-    from sen2rts_spark.session import get_spark
-    spark = get_spark("scaling-prep", cores=8)
-    pages_path = ensure_pages(spark, REPO, n_urls, 200)
-    spark.stop()
+    conc = int(os.environ.get("SPARK_GRAFT_SCALING_CONC", "1"))
+    # materialize input once — in a SUBPROCESS so its JVM fully exits
+    # (py4j keeps the gateway JVM alive until the owning python exits, and an
+    # idle extra JVM perturbs the wide-level reps)
+    prep = ("import sys; sys.path.insert(0, %r); "
+            "from bench import ensure_pages; "
+            "from sen2rts_spark.session import get_spark; "
+            "s = get_spark('scaling-prep', cores=8); "
+            "print(ensure_pages(s, %r, %d, 200))" % (REPO, REPO, n_urls))
+    pages_path = subprocess.run(
+        [sys.executable, "-c", prep], capture_output=True, text=True,
+        check=True, cwd=REPO).stdout.strip().splitlines()[-1]
 
     # pre-warm the OS page cache: the sandbox disk is slow enough that the
     # first scan otherwise measures disk, not the engine
@@ -112,7 +149,7 @@ def main():
                 while f.read(1 << 24):
                     pass
 
-    children = {c: Level(c, pages_path) for c in levels}
+    children = {c: Level(c, pages_path, conc) for c in levels}
     samples: dict[int, list] = {c: [] for c in levels}
     t_start = time.time()
     for rep in range(runs):
@@ -124,7 +161,8 @@ def main():
     for ch in children.values():
         ch.close()
 
-    results = {"protocol": "interleaved", "wall_sec": round(time.time() - t_start, 1)}
+    results = {"protocol": "interleaved", "concurrency": conc,
+               "wall_sec": round(time.time() - t_start, 1)}
     for c in levels:
         pps = [s["pps"] for s in samples[c]]
         results[f"local[{c}]"] = {
@@ -141,10 +179,17 @@ def main():
                    / results[f"local[{lo}]"]["median_pps"] / 4)
             pairs = [round(h["pps"] / l["pps"] / 4, 3)
                      for l, h in zip(samples[lo], samples[hi])]
+            adj = [round((h["pps"] / (1 - h["steal_pct"] / 100))
+                         / (l["pps"] / (1 - l["steal_pct"] / 100)) / 4, 3)
+                   for l, h in zip(samples[lo], samples[hi])]
             results[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
             results[f"per_pair_efficiency_{lo}_to_{hi}"] = pairs
-            print(f"scaling efficiency (N={lo} -> 4N={hi}): {eff:.3f} "
-                  f"(per-pair {pairs}; target >= 0.8)")
+            results[f"per_pair_eff_steal_adj_{lo}_to_{hi}"] = adj
+            results[f"eff_steal_adj_{lo}_to_{hi}"] = round(
+                statistics.median(adj), 3)
+            print(f"scaling efficiency (N={lo} -> 4N={hi}): {eff:.3f} raw, "
+                  f"{statistics.median(adj):.3f} steal-adjusted "
+                  f"(per-pair raw {pairs}, adj {adj}; target >= 0.8)")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
