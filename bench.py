@@ -67,7 +67,10 @@ BENCH_QUERIES = [
     "fill_linear_daily",
     "minhash_lsh_candidates",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
     "dedup_exact",
+    "simhash_64",
+    "dedup_embedding_near",
     "quality_score",
 ]
 
