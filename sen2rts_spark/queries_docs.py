@@ -494,14 +494,32 @@ def q_media_metadata(spark, sf_dir):
         F.substring(F.md5("text"), 1, 8).alias("content_key"))
 
 
-@register("media_feature_extract")
+@register("media_feature_extract", """
+WITH pos AS (
+  SELECT doc_id, UNNEST(range(1, length(text) + 1)) AS i, text
+  FROM documents),
+h AS (
+  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) % 16 AS b FROM pos),
+c AS (
+  SELECT doc_id, b, COUNT(*) AS n FROM h GROUP BY doc_id, b),
+grid AS (
+  SELECT d.doc_id, CAST(g.b AS INT) AS b
+  FROM documents d, (SELECT UNNEST(range(0, 16)) AS b) g),
+filled AS (
+  SELECT grid.doc_id, grid.b, COALESCE(c.n, 0) AS n
+  FROM grid LEFT JOIN c ON grid.doc_id = c.doc_id AND grid.b = c.b)
+SELECT doc_id, list(n ORDER BY b) AS feature
+FROM filled GROUP BY doc_id
+""")
 def q_media_feature_extract(spark, sf_dir):
     """Decode/feature-extract over binary media via mapInPandas.
 
     The actual image/audio decode is STUBBED (no codec libs in this
-    environment) with a deterministic byte-histogram 'feature'; the Spark
-    plumbing — binary column in, fixed-width feature vector out, Arrow
-    batching, schema declaration — is real and is what's under test.
+    environment) with a deterministic byte-histogram 'feature' (exact
+    integer counts per 16-bucket — chosen integral so the DuckDB oracle can
+    hash-verify the whole Arrow plumbing end-to-end); the Spark side —
+    binary column in, fixed-width feature vector out, Arrow batching,
+    schema declaration — is the real multimodal path under test.
     """
     d = load(spark, sf_dir, "documents") \
         .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
@@ -512,11 +530,11 @@ def q_media_feature_extract(spark, sf_dir):
             for payload in pdf["payload"]:
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8)
                 # STUB: stands in for image decode + pooling; deterministic
-                hist = np.bincount(buf % 16, minlength=16).astype(np.float64)
-                feats.append((hist / max(buf.size, 1)).round(6).tolist())
+                hist = np.bincount(buf % 16, minlength=16).astype(np.int64)
+                feats.append(hist.tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
-    return d.mapInPandas(_fn, "doc_id long, feature array<double>")
+    return d.mapInPandas(_fn, "doc_id long, feature array<long>")
 
 
 # 4 sign-bit hyperplanes / sim >= 0.25: tuned so the synthetic embeddings
