@@ -137,6 +137,51 @@ def gorilla_encode(ts: np.ndarray, values: np.ndarray) -> bytes:
     return header + w.getvalue()
 
 
+def _decode_ts_slow(r: "_BitReader", ts: np.ndarray, start: int, delta: int):
+    """General delta-of-delta walk from ts[start-1] with running ``delta``.
+
+    Inlined bit reads (peek the 4-bit class prefix once per point) — the
+    method-dispatch version ran ~2x slower on irregular series.
+    """
+    data = bytes(r.data) + b"\x00" * 10
+    pos = r.pos
+    from_bytes = int.from_bytes
+    t = int(ts[start - 1])
+    for i in range(start, len(ts)):
+        s = pos >> 3
+        chunk = from_bytes(data[s:s + 2], "big")
+        cls = (chunk >> (12 - (pos & 7))) & 0xF
+        if cls < 8:            # '0'
+            pos += 1
+            dod = 0
+        else:
+            if cls < 12:       # '10' + 7
+                pos += 2
+                k, bias = 7, 63
+            elif cls < 14:     # '110' + 9
+                pos += 3
+                k, bias = 9, 255
+            elif cls == 14:    # '1110' + 12
+                pos += 4
+                k, bias = 12, 2047
+            else:              # '1111' + 64
+                pos += 4
+                k, bias = 64, 0
+            e = (pos + k + 7) >> 3
+            chunk = from_bytes(data[pos >> 3:e], "big")
+            dod = (chunk >> ((e << 3) - (pos + k))) & ((1 << k) - 1)
+            pos += k
+            if k == 64:
+                if dod >= (1 << 63):
+                    dod -= 1 << 64
+            else:
+                dod -= bias
+        delta += dod
+        t += delta
+        ts[i] = t
+    r.pos = pos
+
+
 def gorilla_decode(blob: bytes):
     """Decode a blob → (ts int64 array, values float64 array)."""
     if blob[:4] != _MAGIC:
@@ -154,40 +199,65 @@ def gorilla_decode(blob: bytes):
         return ts, vals_bits.view(np.float64)
 
     r = _BitReader(blob[24:])
-    delta = 0
-    t = t0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:
-            dod = r.read(12) - 2047
+    # Fast path — regular cadence (the daily/hourly tier layout): the first
+    # dod is a '1111'+64b full delta, every later dod is a single '0' bit.
+    # One vectorized check replaces the per-point control-bit walk.
+    if n >= 3 and r.read(4) == 0b1111:
+        delta0 = r.read(64)
+        if delta0 >= (1 << 63):
+            delta0 -= 1 << 64
+        probe = _BitReader(blob[24:])
+        probe.pos = 68
+        ntail = n - 2
+        if probe.read(ntail) == 0:
+            ts[1:] = t0 + delta0 * np.arange(1, n, dtype=np.int64)
+            r.pos = 68 + ntail
         else:
-            dod = r.read(64)
-            if dod >= (1 << 63):
-                dod -= 1 << 64
-        delta += dod
-        t += delta
-        ts[i] = t
+            # irregular: first dod fully consumed (pos already 68)
+            ts[1] = t0 + delta0
+            _decode_ts_slow(r, ts, 2, delta0)
+    else:
+        r.pos = 0
+        _decode_ts_slow(r, ts, 1, 0)
 
-    prev = v0_bits
+    # value stream: hot loop with inlined bit reads (method dispatch and a
+    # per-point np.uint64() construction measured ~2x of the decode cost)
+    data = bytes(r.data) + b"\x00" * 10  # pad: end-of-stream peeks read full width
+    pos = r.pos
+    prev = int(v0_bits)
     prev_lead, prev_mean = 65, 0
+    out = vals_bits
+    from_bytes = int.from_bytes
     for i in range(1, n):
-        if r.read(1) == 0:
-            vals_bits[i] = prev
+        # peek 2 control bits without advancing
+        s = pos >> 3
+        chunk = from_bytes(data[s:s + 2], "big")
+        ctrl = (chunk >> (14 - (pos & 7))) & 3
+        if ctrl < 2:  # '0x' → repeat previous value
+            pos += 1
+            out[i] = prev
             continue
-        if r.read(1) == 0:
-            mbits = r.read(prev_mean)
-            x = mbits << (64 - prev_lead - prev_mean)
-        else:
-            lead = r.read(6)
-            mean = r.read(6) + 1
-            mbits = r.read(mean)
-            x = mbits << (64 - lead - mean)
+        if ctrl == 2:  # '10' → reuse previous window
+            pos += 2
+            k = prev_mean
+            e = (pos + k + 7) >> 3
+            chunk = from_bytes(data[pos >> 3:e], "big")
+            mbits = (chunk >> ((e << 3) - (pos + k))) & ((1 << k) - 1)
+            pos += k
+            prev ^= mbits << (64 - prev_lead - prev_mean)
+        else:  # '11' → new window: 6b lead + 6b (meaningful-1) + bits
+            pos += 2
+            e = (pos + 12 + 7) >> 3
+            chunk = from_bytes(data[pos >> 3:e], "big")
+            hdr = (chunk >> ((e << 3) - (pos + 12))) & 0xFFF
+            pos += 12
+            lead = hdr >> 6
+            mean = (hdr & 63) + 1
+            e = (pos + mean + 7) >> 3
+            chunk = from_bytes(data[pos >> 3:e], "big")
+            mbits = (chunk >> ((e << 3) - (pos + mean))) & ((1 << mean) - 1)
+            pos += mean
+            prev ^= mbits << (64 - lead - mean)
             prev_lead, prev_mean = lead, mean
-        prev = np.uint64(int(prev) ^ x)
-        vals_bits[i] = prev
+        out[i] = prev
     return ts, vals_bits.view(np.float64)
