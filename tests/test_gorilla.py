@@ -51,3 +51,20 @@ def test_roundtrip_property(raw_ts, data):
         st.floats(allow_nan=True, allow_infinity=True, width=64),
         min_size=len(ts), max_size=len(ts)))
     _roundtrip(ts, vals)
+
+
+def test_decode_fast_path_regular_cadence():
+    """The tier layout (constant cadence) takes the vectorized timestamp
+    path; irregular and mixed cadences take the general walk. All three
+    must roundtrip bit-exactly and agree with each other at the seams."""
+    rng = np.random.default_rng(3)
+    vals = np.cumsum(rng.normal(0, 0.01, 500)) + 0.5
+    regular = np.arange(500, dtype=np.int64) * 86400 + 1_577_836_800
+    irregular = np.sort(rng.choice(10**8, 500, replace=False)).astype(np.int64)
+    # regular except ONE late gap — must fall back to the general walk
+    mixed = regular.copy()
+    mixed[400:] += 3600
+    for ts in (regular, irregular, mixed):
+        rt, rv = gorilla_decode(gorilla_encode(ts, vals))
+        assert (rt == ts).all()
+        assert (rv == vals).all()
