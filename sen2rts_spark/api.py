@@ -41,7 +41,8 @@ from .sources.paths import load_s2paths  # noqa: F401
 
 __all__ = ["extract_s2ts", "smooth_s2ts", "fill_s2ts", "cut_cycles",
            "fit_curve", "extract_pheno", "aggregate_pheno", "assign_season",
-           "detect_forages", "load_s2paths", "as_s2ts", "print_s2ts"]
+           "detect_forages", "load_s2paths", "as_s2ts", "print_s2ts",
+           "pivot_values"]
 
 # column contract of an s2ts table (s2ts-class.R:56-96: mandatory date/id/
 # value, optional orbit/sensor/quality + stage-added columns)
@@ -70,6 +71,30 @@ def as_s2ts(df, id_col: str = "id", date_col: str = "date",
         raise ValueError(f"not an s2ts table: missing column(s) {missing}")
     out = out.withColumn("date", F.col("date").cast("date"))
     return out.orderBy("id", "date")
+
+
+def pivot_values(df, col: str = "value", id_col: str = "id",
+                 date_col: str = "date", ids=None):
+    """Wide accessor: one row per date, one column per id, cell = that
+    series' ``col`` at that date ($value/$qa dcast semantics,
+    s2ts-class.R:289-308). The s2ts key is unique per (id, date), so
+    first() is deterministic. Rows where every id is NA are dropped, like
+    the reference accessor's na-omitted cast.
+
+    ``ids``: explicit pivot values. Passing them skips Spark's extra
+    distinct-scan to discover the columns — at scale the id universe should
+    come from the catalog, not a pass over the data.
+    """
+    import pyspark.sql.functions as F
+    piv = df.groupBy(date_col).pivot(id_col, ids) if ids is not None \
+        else df.groupBy(date_col).pivot(id_col)
+    wide = piv.agg(F.first(col))
+    value_cols = [c for c in wide.columns if c != date_col]
+    keep = None
+    for c in value_cols:
+        cond = F.col(c).isNotNull()
+        keep = cond if keep is None else (keep | cond)
+    return wide.filter(keep) if keep is not None else wide
 
 
 def print_s2ts(df, n: int = 10) -> str:

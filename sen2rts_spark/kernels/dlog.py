@@ -209,7 +209,10 @@ def _fit_generic(x: np.ndarray, curve, starts, method: str,
         pred = curve(par, t)
         if not np.all(np.isfinite(pred)):
             return 99999.0
-        return float(np.sum((pred - xn) ** 2))
+        sse = float(np.sum((pred - xn) ** 2))
+        # NaN input slice -> NaN sse -> 'NaN < best' always False and
+        # best_par would stay None; treat non-finite residuals as a miss
+        return sse if np.isfinite(sse) else 99999.0
 
     coarse = []
     for p0 in starts:
@@ -222,6 +225,8 @@ def _fit_generic(x: np.ndarray, curve, starts, method: str,
         par2, cost2 = _nelder_mead(f, par, maxiter=refine_iter)
         if cost2 < best_cost:
             best_par, best_cost = par2, cost2
+    if best_par is None:
+        return None
     pred_n = curve(best_par, t)
     predicted = pred_n * span + sf[0]
     if not np.all(np.isfinite(predicted)):

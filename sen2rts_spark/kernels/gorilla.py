@@ -76,8 +76,63 @@ def _clz64(x: int) -> int:
     return 64 - x.bit_length() if x else 64
 
 
+def _bitlen64(x: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length for uint64 arrays (0 → 0).
+
+    Split into 32-bit halves so the float64 conversion is exact, then
+    floor(log2): for 32-bit ints the gap between x and the next power of two
+    (>= 1/(2^32 ln 2) in log2 units) dwarfs the ulp of the result, so the
+    floor can't round across a boundary. Direct 64-bit log2 would NOT be
+    safe (conversion itself rounds past 2^53)."""
+    hi = (x >> np.uint64(32)).astype(np.float64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        blh = np.floor(np.log2(hi)) + 33.0   # -inf where hi == 0
+        bll = np.floor(np.log2(lo)) + 1.0    # -inf where lo == 0
+    return np.maximum(np.maximum(blh, bll), 0.0).astype(np.int64)
+
+
+def _pack_tokens(vals: np.ndarray, widths: np.ndarray) -> bytes:
+    """Pack variable-width bit tokens (each <= 32 bits) MSB-first.
+
+    Vectorized: cumulative bit offsets place every token; each token is
+    left-shifted to its byte-aligned end and OR-merged byte-wise into the
+    buffer (np.bitwise_or.at handles boundary bytes shared by two tokens).
+    A shifted token spans <= ceil((32+7)/8) = 5 bytes.
+    """
+    widths64 = widths.astype(np.int64)
+    end = np.cumsum(widths64)
+    total = int(end[-1]) if len(end) else 0
+    if total == 0:
+        return b""
+    start = end - widths64
+    shift = ((-end) % 8).astype(np.uint64)
+    shifted = vals.astype(np.uint64) << shift
+    first = start >> 3
+    last = ((end + ((-end) % 8)) >> 3) - 1
+    buf = np.zeros((total + 7) >> 3, dtype=np.uint8)
+    nbyte = last - first + 1
+    for j in range(5):
+        sel = nbyte > j
+        if not sel.any():
+            break
+        byte = (shifted[sel] >> np.uint64(8 * j)) & np.uint64(0xFF)
+        np.bitwise_or.at(buf, last[sel] - j, byte.astype(np.uint8))
+    return buf.tobytes()
+
+
 def gorilla_encode(ts: np.ndarray, values: np.ndarray) -> bytes:
-    """Encode int64 timestamps (sorted) + float64 values into a Gorilla blob."""
+    """Encode int64 timestamps (sorted) + float64 values into a Gorilla blob.
+
+    Fully vectorized (no per-point Python): delta-of-delta classes via
+    np.select, XOR lead/trail via binary-reduction bit tricks, and one
+    variable-width token pack at the end. The value-window policy is
+    'reuse iff (lead, trail) exactly match the previous nonzero XOR' —
+    unlike the paper's shrink-fit rule this is expressible as a vector
+    compare (no sequential window state); any policy is valid Gorilla, the
+    decoder follows the control bits (paper §4.1.2 explicitly leaves the
+    reuse heuristic to the encoder).
+    """
     ts = np.asarray(ts, dtype=np.int64)
     values = np.asarray(values, dtype=np.float64)
     n = len(ts)
@@ -85,56 +140,75 @@ def gorilla_encode(ts: np.ndarray, values: np.ndarray) -> bytes:
     if n == 0:
         return header
     header += struct.pack(">q", int(ts[0]))
-    header += struct.pack(">Q", int(np.float64(values[0]).view(np.uint64)))
+    header += struct.pack(">Q", int(values[:1].view(np.uint64)[0]))
     if n == 1:
         return header
 
-    w = _BitWriter()
-    # timestamps
+    m = n - 1
+    # ---- timestamp tokens: dod class prefix + payload (64b split 32+32)
     deltas = np.diff(ts)
-    dods = np.diff(np.concatenate(([np.int64(0)], deltas)))
-    for dod in dods.tolist():
-        if dod == 0:
-            w.write(0, 1)
-        elif -63 <= dod <= 64:
-            w.write(0b10, 2)
-            w.write(dod + 63, 7)
-        elif -255 <= dod <= 256:
-            w.write(0b110, 3)
-            w.write(dod + 255, 9)
-        elif -2047 <= dod <= 2048:
-            w.write(0b1110, 4)
-            w.write(dod + 2047, 12)
-        else:
-            w.write(0b1111, 4)
-            w.write(dod & ((1 << 64) - 1), 64)
+    dods = np.empty(m, dtype=np.int64)
+    dods[0] = deltas[0]
+    np.subtract(deltas[1:], deltas[:-1], out=dods[1:])
+    cls = np.select(
+        [dods == 0,
+         (dods >= -63) & (dods <= 64),
+         (dods >= -255) & (dods <= 256),
+         (dods >= -2047) & (dods <= 2048)],
+        [0, 1, 2, 3], default=4)
+    du = dods.view(np.uint64)  # two's complement bits
+    tv = np.zeros((m, 3), dtype=np.uint64)
+    tw = np.zeros((m, 3), dtype=np.uint8)
+    tv[:, 0] = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111],
+                        dtype=np.uint64)[cls]
+    tw[:, 0] = np.array([1, 2, 3, 4, 4], dtype=np.uint8)[cls]
+    # biased payloads wrap correctly in two's-complement uint64 arithmetic
+    tv[:, 1] = np.select(
+        [cls == 1, cls == 2, cls == 3, cls == 4],
+        [(du + np.uint64(63)) & np.uint64(0x7F),
+         (du + np.uint64(255)) & np.uint64(0x1FF),
+         (du + np.uint64(2047)) & np.uint64(0xFFF),
+         du >> np.uint64(32)],
+        default=np.uint64(0))
+    tw[:, 1] = np.array([0, 7, 9, 12, 32], dtype=np.uint8)[cls]
+    tv[:, 2] = du & np.uint64(0xFFFFFFFF)
+    tw[:, 2] = np.where(cls == 4, 32, 0).astype(np.uint8)
 
-    # values
+    # ---- value tokens: ctrl + optional 12b window header + mbits (split)
     bits = values.view(np.uint64)
-    xors = (bits[1:] ^ bits[:-1]).tolist()
-    prev_lead, prev_mean = 65, 0  # invalid window → first nonzero xor writes one
-    for x in xors:
-        if x == 0:
-            w.write(0, 1)
-            continue
-        w.write(1, 1)
-        lead = _clz64(x)
-        if lead > 31:
-            lead = 31  # paper caps leading-zero field
-        trail = (x & -x).bit_length() - 1
-        meaningful = 64 - lead - trail
-        if (prev_lead <= lead and
-                (64 - prev_lead - prev_mean) <= trail):
-            # fits inside previous window
-            w.write(0, 1)
-            w.write(x >> (64 - prev_lead - prev_mean), prev_mean)
-        else:
-            w.write(1, 1)
-            w.write(lead, 6)
-            w.write(meaningful - 1, 6)  # 1..64 stored as 0..63
-            w.write(x >> trail, meaningful)
-            prev_lead, prev_mean = lead, meaningful
-    return header + w.getvalue()
+    xors = bits[1:] ^ bits[:-1]
+    nz = xors != 0
+    bl = _bitlen64(xors).astype(np.int64)
+    lead = np.minimum(64 - bl, 31)          # paper caps the 6b lead field
+    low = xors & (~xors + np.uint64(1))     # x & -x
+    trail = _bitlen64(low).astype(np.int64) - 1   # -1 on zero xor (unused)
+    mean = 64 - lead - trail
+    idxnz = np.flatnonzero(nz)
+    reuse = np.zeros(m, dtype=bool)
+    if len(idxnz) > 1:
+        same = ((lead[idxnz[1:]] == lead[idxnz[:-1]])
+                & (trail[idxnz[1:]] == trail[idxnz[:-1]]))
+        reuse[idxnz[1:][same]] = True
+    new = nz & ~reuse
+    vv = np.zeros((m, 4), dtype=np.uint64)
+    vw = np.zeros((m, 4), dtype=np.uint8)
+    vw[:, 0] = np.where(nz, 2, 1).astype(np.uint8)
+    vv[:, 0] = np.where(reuse, np.uint64(0b10),
+                        np.where(nz, np.uint64(0b11), np.uint64(0)))
+    vw[new, 1] = 12
+    vv[new, 1] = ((lead[new].astype(np.uint64) << np.uint64(6))
+                  | (mean[new] - 1).astype(np.uint64))
+    trail_u = np.where(nz, trail, 0).astype(np.uint64)
+    mb = xors >> trail_u                     # fits in `mean` bits by design
+    vw[:, 2] = np.where(nz & (mean > 32), mean - 32, 0).astype(np.uint8)
+    vv[:, 2] = mb >> np.uint64(32)
+    vw[:, 3] = np.where(nz, np.minimum(mean, 32), 0).astype(np.uint8)
+    vv[:, 3] = mb & np.uint64(0xFFFFFFFF)
+
+    allw = np.concatenate([tw.ravel(), vw.ravel()])
+    allv = np.concatenate([tv.ravel(), vv.ravel()])
+    used = allw > 0
+    return header + _pack_tokens(allv[used], allw[used])
 
 
 def _decode_ts_slow(r: "_BitReader", ts: np.ndarray, start: int, delta: int):

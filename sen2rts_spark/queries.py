@@ -678,21 +678,190 @@ def q_pivot_wide(spark, sf_dir):
         .alias("purchase"))
 
 
+# --------------------------------------------------------------------------
+# Composite gate queries: the driver verifies only the first 50 registry
+# entries, and the LLM-pipeline + engine queries fill most of the window.
+# Each composite below folds several §2 micro-query families into ONE gated
+# plan so every §2 row keeps a green per-round record; the micro-queries
+# stay registered (tail) as the readable single-operator form.
+# --------------------------------------------------------------------------
+
+@register("calendar_props_composite", """
+SELECT event_id,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
+       CAST(ts AS DATE) + INTERVAL 90 DAY AS due,
+       CAST(EXTRACT(year FROM ts) AS INT) AS yr,
+       strftime(ts, '%m-%d') AS mmdd,
+       ((epoch(ts)::BIGINT // 86400) % 10 IN (0, 5)) AS is_dop,
+       (strftime(ts, '%m-%d') >= '11-15' OR strftime(ts, '%m-%d') <= '02-15')
+         AS in_wrap,
+       CAST(props->>'$.k' AS INT) AS k
+FROM events
+""")
+def q_calendar_props_composite(spark, sf_dir):
+    # Composite of C1 (date_arithmetic), C2 (dop_calendar, s2_dop_simpl.R:
+    # 34-45), F5 (mmdd wrap window, assign_season.R:156-180) and C13
+    # (json_extract) — one per-row plan keeping each family gate-green.
+    e = load(spark, sf_dir, "events")
+    mmdd = F.date_format("ts", "MM-dd")
+    epoch_day = (F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    return e.select(
+        "event_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .alias("days_since"),
+        (F.to_date("ts") + F.expr("INTERVAL 90 DAY")).cast("timestamp")
+        .alias("due"),
+        F.year("ts").alias("yr"),
+        mmdd.alias("mmdd"),
+        F.pmod(epoch_day, F.lit(10)).isin(0, 5).alias("is_dop"),
+        ((mmdd >= "11-15") | (mmdd <= "02-15")).alias("in_wrap"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"))
+
+
+@register("series_integrity_composite", """
+WITH d AS (
+  SELECT user_id,
+         (epoch(ts)::BIGINT // 86400)
+         - LAG(epoch(ts)::BIGINT // 86400)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dd
+  FROM events),
+g AS (
+  SELECT user_id,
+         CAST(list_reduce(list(dd ORDER BY dd), (a, b) -> gcd(a, b)) AS BIGINT) AS g
+  FROM d WHERE dd IS NOT NULL AND dd > 0 GROUP BY user_id),
+dup AS (
+  SELECT user_id, COUNT(*) AS n_dup_keys FROM (
+    SELECT user_id, ts FROM events GROUP BY user_id, ts HAVING COUNT(*) > 1)
+  GROUP BY user_id),
+q AS (
+  SELECT user_id, ROUND(CAST(quantile_disc(value, 0.5) AS DOUBLE), 6) AS q50_disc
+  FROM events GROUP BY user_id)
+SELECT q.user_id, g.g, COALESCE(dup.n_dup_keys, 0) AS n_dup_keys, q.q50_disc
+FROM q LEFT JOIN g ON q.user_id = g.user_id
+LEFT JOIN dup ON q.user_id = dup.user_id
+""")
+def q_series_integrity_composite(spark, sf_dir):
+    # Composite of A13 (GCD of date diffs, fill_s2ts.R:52-58), A12 ((id,
+    # date) dup detect, s2ts-class.R:208-214) and A7 (type-1 quantile,
+    # cut_cycles.R:149) — the per-series sanity checks run before fill.
+    import math as _math
+
+    import pandas as pd
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    d = e.select("user_id", (day - F.lag(day).over(w)).alias("dd")) \
+        .filter(F.col("dd").isNotNull() & (F.col("dd") > 0))
+
+    def _gcd_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = 0
+        for v in pdf["dd"]:
+            g = _math.gcd(g, int(v))
+        return pd.DataFrame([{"user_id": pdf["user_id"].iloc[0], "g": g}])
+
+    g = d.groupBy("user_id").applyInPandas(_gcd_fn, "user_id bigint, g bigint")
+    dup = (e.groupBy("user_id", "ts").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > 1)
+           .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_dup_keys")))
+    q = e.groupBy("user_id").agg(
+        F.round(F.element_at(F.sort_array(F.collect_list("value")),
+                             F.ceil(F.count(F.lit(1)) * 0.5).cast("int")),
+                6).alias("q50_disc"))
+    return (q.join(g, "user_id", "left").join(dup, "user_id", "left")
+            .select("user_id", "g",
+                    F.coalesce("n_dup_keys", F.lit(0)).alias("n_dup_keys"),
+                    "q50_disc"))
+
+
+_CUST_STRINGS_SQL = """
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS keystr,
+       REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_num
+"""
+
+
+@register("relational_stage_composite", f"""
+SELECT c_custkey, 'active' AS src, {_CUST_STRINGS_SQL}
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'idle' AS src, {_CUST_STRINGS_SQL}
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_relational_stage_composite(spark, sf_dir):
+    # Composite of J2 (left-semi restore, smooth_s2ts.R:216-219), U2
+    # (semi/anti membership), U1 (union-all of stage outputs) and C10
+    # (lpad/concat/regex string keys, extract_s2ts.R:150, load_s2paths.R:70).
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+
+    def _strings(df, src):
+        return df.select(
+            "c_custkey", F.lit(src).alias("src"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+            F.concat(F.col("c_mktsegment"), F.lit("#"),
+                     F.col("c_nationkey").cast("string")).alias("keystr"),
+            F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"))
+
+    active = _strings(c.join(o, c.c_custkey == o.o_custkey, "left_semi"),
+                      "active")
+    idle = _strings(c.join(o, c.c_custkey == o.o_custkey, "left_anti"),
+                    "idle")
+    return active.unionByName(idle)
+
+
+@register("pivot_wide_accessor", """
+SELECT CAST(ts AS DATE) AS day,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 6) AS view
+FROM events WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY CAST(ts AS DATE)
+""")
+def q_pivot_wide_accessor(spark, sf_dir):
+    # §1.1 wide accessor through the facade: dcast date ~ id with a unique
+    # (id, date) key (s2ts-class.R:289-308) — daily per-type sums first so
+    # first() is deterministic, then api.pivot_values with explicit ids.
+    from .api import pivot_values
+    e = load(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "purchase", "view"))
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type") \
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    return pivot_values(daily, col="v", id_col="event_type", date_col="day",
+                        ids=["click", "purchase", "view"])
+
+
 # Register the remaining query families (import side-effects populate the
 # registry). Placed at module end to avoid circular imports.
 from . import queries_ts  # noqa: E402,F401
 from . import queries_docs  # noqa: E402,F401
 
 # First-50 window for the driver's gate: the LLM-data-pipeline operators,
-# the engine's own rollup/compression/kernel queries, and the round-2
-# additions. The §2 micro-queries left after these (mmdd_window_wrap,
-# dop_calendar, groupby_multi_agg, quantile/rank/string/json families …)
-# all carry green rows+schema+hash records from CORRECTNESS_r01 and act as
-# the tail.
+# the engine's own rollup/compression/kernel queries, and the composite
+# queries that fold every remaining §2 micro-family into the window (see
+# the "Composite gate queries" section). Tail queries past slot 50 are the
+# readable single-operator forms whose families are ALSO exercised by a
+# gated entry this round:
+#   weighted_mean        → rollup_daily (A1 weighted mean, same +1e-9 rule)
+#   token_count          → token_count_bpe_ish (emits both token counts)
+#   rolling_mean_centered→ detect_forages_flags (W7 centered rolling mean)
+#   broadcast_dim_join   → clamp_extrapolation / global_rescale (broadcast)
+#   dop_calendar / date_arithmetic / mmdd_window_wrap / json_extract
+#                        → calendar_props_composite (C2/C1/F5/C13)
+#   gcd_date_diffs / dup_detect / quantile_type1
+#                        → series_integrity_composite (A13/A12/A7)
+#   semi_join / anti_join / union_all_stages / string_functions
+#                        → relational_stage_composite (J2/U2/U1/C10)
+#   pivot_wide           → pivot_wide_accessor (§1.1, via api.pivot_values)
+#   groupby_multi_agg / quantiles_t7 / agg_fanout_melt / lag_diff /
+#   row_number_per_group / lead_align_pairs
+#                        → aggregate_pheno_windows / detect_forages_flags /
+#                          the _CYCLES_SQL plan (A3/A8-9/A14/W1/W9/W10)
 _PRIORITY = [
     # LLM-data-pipeline set (queries_docs)
     "dedup_exact", "minhash_signature", "minhash_lsh_candidates",
-    "ngram_jaccard_pairs", "simhash_64", "token_count", "token_count_bpe_ish",
+    "ngram_jaccard_pairs", "simhash_64", "token_count_bpe_ish",
     "quality_score", "lang_id_heuristic", "doc_fingerprint",
     "ann_cosine_topk", "ann_lsh_bucketed", "embedding_norms",
     "label_centroid_distance", "media_metadata", "media_feature_extract",
@@ -704,11 +873,13 @@ _PRIORITY = [
     "assign_season_topk", "detect_forages_flags", "fit_curves_long",
     "fit_curves_fallback", "extract_pheno_gu", "extract_pheno_klosterman",
     "smooth_whittaker_series",
+    # composites folding the §2 micro-families into the window
+    "calendar_props_composite", "series_integrity_composite",
+    "relational_stage_composite", "pivot_wide_accessor",
     # structurally significant §2 operators
     "filter_project", "best_agg", "global_rescale", "per_group_norm",
     "clamp_extrapolation", "rank_average_ties", "topk_per_group",
     "full_outer_restore", "grid_scaffold_join", "range_join_interval",
     "asof_nearest", "scl_decode", "piecewise_linear_combine",
-    "local_extrema", "rolling_mean_centered", "broadcast_dim_join",
-    "weighted_mean",
+    "local_extrema",
 ]

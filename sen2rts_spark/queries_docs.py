@@ -45,10 +45,12 @@ _SHINGLES_SQL = """
 
 # MinHash-LSH parameters. n_permutations = N_BANDS * ROWS_PER_BAND salted
 # md5 permutations; both the Spark plans and the DuckDB oracles are generated
-# from these, so widening the signature (e.g. 16 bands x 8 rows in
-# production) is a config change, not a rewrite.
-N_BANDS = 2
-ROWS_PER_BAND = 2
+# from these, so the signature width is a config change, not a rewrite.
+# 8 bands x 4 rows (32 permutations) is a realistic near-dup setting
+# (collision prob ~= 1-(1-s^4)^8: 0.986 at s=0.8, 0.07 at s=0.3); the gate
+# runs it as-is at sf0.01.
+N_BANDS = 8
+ROWS_PER_BAND = 4
 N_PERMS = N_BANDS * ROWS_PER_BAND
 
 _SIG_MINS_SQL = ", ".join(
@@ -81,24 +83,37 @@ def _band_rows(sig):
     return sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
 
 
-def _lsh_candidate_pairs(sig):
+def _lsh_candidate_pairs(sig, hot_bucket_cap=None):
     """Candidate pairs sharing >=1 LSH band, computed in ONE pass over the
     signature: groupBy(band) + in-bucket pair expansion. The former
     band-self-join evaluated the (expensive) signature subtree once per join
     side; this plan shuffles the band rows once and never recomputes.
 
-    Pair expansion is quadratic in bucket size — identical to what the
-    self-join produced, it is the definition of LSH candidates. At production
-    scale a bucket-size cap / star-pair (representative) emission bounds hot
-    buckets; kept exhaustive here to match the oracle's pair semantics.
+    Pair expansion is quadratic in bucket size — by definition of LSH
+    candidates. ``hot_bucket_cap=K`` bounds that: buckets with <= K members
+    expand exhaustively; hotter buckets emit STAR pairs only (the smallest
+    doc_id as representative, paired with every other member) — linear in
+    bucket size, so no stage is quadratic in the largest bucket. Downstream
+    exact-verify then clusters via the representative (union-find semantics:
+    members of one bucket are mutually candidate through the hub). Default
+    None = exhaustive, matching the DuckDB oracle's pair semantics exactly.
     """
     g = _band_rows(sig).groupBy("band").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")) \
         .filter(F.size("ds") > 1)
-    return g.select(F.explode(F.expr(
+    all_pairs = F.expr(
         "flatten(transform(ds, (a, i) -> "
         "transform(slice(ds, i + 2, size(ds) - i - 1), "
-        "b -> struct(a AS doc_a, b AS doc_b))))")).alias("p")) \
+        "b -> struct(a AS doc_a, b AS doc_b))))")
+    if hot_bucket_cap is not None:
+        star = F.expr(
+            "transform(slice(ds, 2, size(ds) - 1), "
+            "b -> struct(ds[0] AS doc_a, b AS doc_b))")
+        pairs = F.when(F.size("ds") <= F.lit(int(hot_bucket_cap)), all_pairs) \
+            .otherwise(star)
+    else:
+        pairs = all_pairs
+    return g.select(F.explode(pairs).alias("p")) \
         .select("p.doc_a", "p.doc_b").distinct()
 
 
@@ -385,12 +400,43 @@ def q_ann_cosine_topk(spark, sf_dir):
 # ANN-LSH hyperplane family: bit i = sign of embedding[2i] - embedding[2i+1]
 # (normal e_2i - e_2i+1 — deterministic, distinct from the sign-bucket family
 # used by dedup_embedding_near, and exactly expressible in both engines).
-ANN_LSH_BITS = 6
+# 8 bits = 256 buckets (needs dim >= 16; the fixture embeddings are 64-dim).
+ANN_LSH_BITS = 8
 ANN_SIM_THR = 0.3
 _ANN_BUCKET_SQL = " + ".join(
     f"(CASE WHEN embedding[{2 * i + 1}] - embedding[{2 * i + 2}] >= 0 "
     f"THEN {1 << i} ELSE 0 END)"
     for i in range(ANN_LSH_BITS))
+
+
+def ann_lsh_pairs(e, hot_bucket_cap=None):
+    """(va, vb, bucket, ea, eb) candidate pairs within a hyperplane bucket.
+
+    ``hot_bucket_cap=K``: buckets with more than K members contribute only
+    star pairs — the bucket representative (min vec_id) joined against every
+    other member — so pair count is linear, not quadratic, in hot-bucket
+    size. Default None = exhaustive in-bucket pairs (the oracle semantics).
+    """
+    bucket = sum(
+        (F.when(F.col("embedding")[2 * i] - F.col("embedding")[2 * i + 1] >= 0,
+                F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(ANN_LSH_BITS)), start=F.lit(0))
+    withb = e.withColumn("bucket", bucket)
+    left = withb
+    if hot_bucket_cap is not None:
+        w = Window.partitionBy("bucket")
+        left = (withb
+                .withColumn("_bn", F.count(F.lit(1)).over(w))
+                .withColumn("_rep", F.min("vec_id").over(w))
+                .filter((F.col("_bn") <= F.lit(int(hot_bucket_cap)))
+                        | (F.col("vec_id") == F.col("_rep")))
+                .drop("_bn", "_rep"))
+    a = left.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+                    "bucket")
+    b = withb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+                     F.col("bucket").alias("bucket_b"))
+    return a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                  & (F.col("va") < F.col("vb")))
 
 
 @register("ann_lsh_bucketed", f"""
@@ -411,19 +457,11 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     neighbors searched within the bucket only (bucket = the shuffle key, no
     all-pairs join). The deterministic hyperplane family makes the whole
     path oracle-able; production would use seeded random normals + multiple
-    tables, same plan shape."""
+    tables, same plan shape. Hot-bucket star-pair capping available via
+    ann_lsh_pairs(hot_bucket_cap=K); the gate runs exhaustive to match the
+    oracle."""
     e = load(spark, sf_dir, "embeddings")
-    bucket = sum(
-        (F.when(F.col("embedding")[2 * i] - F.col("embedding")[2 * i + 1] >= 0,
-                F.lit(1 << i)).otherwise(F.lit(0))
-         for i in range(ANN_LSH_BITS)), start=F.lit(0))
-    withb = e.withColumn("bucket", bucket)
-    a = withb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-                     "bucket")
-    b = withb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-                     F.col("bucket").alias("bucket_b"))
-    j = a.join(b, (F.col("bucket") == F.col("bucket_b"))
-               & (F.col("va") < F.col("vb")))
+    j = ann_lsh_pairs(e)
     dot = ("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
     na = ("sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
@@ -461,17 +499,23 @@ GROUP BY u.vec_id, u.label
 """)
 def q_label_centroid_distance(spark, sf_dir):
     """IVF building block: per-label centroid + distance of each member.
-    The embedding width is read from the data (one-row probe), not assumed."""
+
+    Dimension-independent plan: posexplode to (vec_id, label, i, x) rows,
+    groupBy(label, i) for the centroids, broadcast-join back on (label, i),
+    sum of squared deltas per vec. No driver-side action in the query path
+    and no per-dimension Catalyst columns (a 768-dim embedding would bloat
+    a per-dim projection; the exploded plan is width-agnostic)."""
     e = load(spark, sf_dir, "embeddings")
-    dim = e.select(F.size("embedding")).first()[0]
-    cent = e.groupBy("label").agg(*[
-        F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
-        for i in range(dim)])
-    j = e.join(F.broadcast(cent), "label")
-    dist = F.sqrt(sum(
-        (F.col("embedding")[i].cast("double") - F.col(f"c{i}")) ** 2
-        for i in range(dim)))
-    return j.select("vec_id", "label", F.round(dist, 4).alias("dist"))
+    un = e.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("i", "x")) \
+        .withColumn("x", F.col("x").cast("double"))
+    cent = un.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    j = un.join(F.broadcast(cent), ["label", "i"])
+    return (j.groupBy("vec_id", "label")
+            .agg(F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) ** 2)), 4)
+                 .alias("dist"))
+            .select("vec_id", "label", "dist"))
 
 
 # --------------------------------------------------------------------------
@@ -504,12 +548,9 @@ c AS (
   SELECT doc_id, b, COUNT(*) AS n FROM h GROUP BY doc_id, b),
 grid AS (
   SELECT d.doc_id, CAST(g.b AS INT) AS b
-  FROM documents d, (SELECT UNNEST(range(0, 16)) AS b) g),
-filled AS (
-  SELECT grid.doc_id, grid.b, COALESCE(c.n, 0) AS n
-  FROM grid LEFT JOIN c ON grid.doc_id = c.doc_id AND grid.b = c.b)
-SELECT doc_id, list(n ORDER BY b) AS feature
-FROM filled GROUP BY doc_id
+  FROM documents d, (SELECT UNNEST(range(0, 16)) AS b) g)
+SELECT grid.doc_id, grid.b AS bucket, COALESCE(c.n, 0) AS n
+FROM grid LEFT JOIN c ON grid.doc_id = c.doc_id AND grid.b = c.b
 """)
 def q_media_feature_extract(spark, sf_dir):
     """Decode/feature-extract over binary media via mapInPandas.
@@ -518,23 +559,33 @@ def q_media_feature_extract(spark, sf_dir):
     environment) with a deterministic byte-histogram 'feature' (exact
     integer counts per 16-bucket — chosen integral so the DuckDB oracle can
     hash-verify the whole Arrow plumbing end-to-end); the Spark side —
-    binary column in, fixed-width feature vector out, Arrow batching,
-    schema declaration — is the real multimodal path under test.
+    binary column in, fixed-width feature vector out inside the worker,
+    Arrow batching, schema declaration — is the real multimodal path under
+    test. Output is EXPLODED to (doc_id, bucket, n) rows (16 per doc): the
+    driver harness canonicalizes results via pandas sort, which cannot
+    order an array<long> column (round-2 ERR `unhashable type: 'list'`).
     """
     d = load(spark, sf_dir, "documents") \
         .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
 
     def _fn(batches):
+        buckets = np.arange(16, dtype=np.int32)
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
+            ids, hists = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8)
                 # STUB: stands in for image decode + pooling; deterministic
-                hist = np.bincount(buf % 16, minlength=16).astype(np.int64)
-                feats.append(hist.tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+                hists.append(np.bincount(buf % 16, minlength=16).astype(np.int64))
+                ids.append(doc_id)
+            if not ids:
+                continue
+            yield pd.DataFrame({
+                "doc_id": np.repeat(np.asarray(ids, dtype=np.int64), 16),
+                "bucket": np.tile(buckets, len(ids)),
+                "n": np.concatenate(hists),
+            })
 
-    return d.mapInPandas(_fn, "doc_id long, feature array<long>")
+    return d.mapInPandas(_fn, "doc_id long, bucket int, n long")
 
 
 # 4 sign-bit hyperplanes / sim >= 0.25: tuned so the synthetic embeddings
@@ -566,13 +617,16 @@ def q_dedup_embedding_near(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs with an LSH prefilter.
 
     Round 1 blocked on ``label`` alone — quadratic in the largest label.
-    The join key is now (label, sign-bucket): 8 deterministic sign-bit
-    hyperplanes (dims 0..7) split each label cell up to 256 ways, bounding
-    the pair space by actual bucket occupancy. Near-identical vectors
-    (sim >= 0.92) agree on a sign bit unless that coordinate is near zero —
-    the candidate-filtered semantics (recall traded for a bound) are
-    mirrored exactly in the oracle; production would multi-probe
-    neighbouring buckets to recover the boundary cases.
+    The join key is now (label, sign-bucket): N_SIGN_BITS (= 4) deterministic
+    sign-bit hyperplanes on dims 0..3 split each label cell up to 2**4 = 16
+    ways, bounding the pair space by actual bucket occupancy. Near-identical
+    vectors agree on a sign bit unless that coordinate is near zero — the
+    candidate-filtered semantics (recall traded for a bound) are mirrored
+    exactly in the oracle. NEAR_DUP_SIM = 0.25 is a fixture-driven stand-in:
+    the synthetic embeddings' max pairwise cosine is 0.47 (no planted
+    near-dups), so the production >= 0.92 threshold would verify nothing.
+    Production settings: 8-16 sign bits, sim >= 0.92, multi-probe of
+    neighbouring buckets for sign-boundary recall.
     """
     e = load(spark, sf_dir, "embeddings")
     bucket = sum(

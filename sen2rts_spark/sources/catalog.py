@@ -21,6 +21,7 @@ The exact Iceberg DDL for the production path is in docs/ICEBERG.sql.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -96,20 +97,57 @@ class Catalog:
 
         # Lineage counts come from the COMMITTED files, not a re-evaluation of
         # the (possibly non-deterministic) upstream plan: data + lineage then
-        # describe the same materialized result.
-        candidates = todo if todo is not None else list(range(self.n_buckets))
-        written = self.spark.read.parquet(self.table_path(table)) \
-            .filter(F.col("bucket").isin(candidates)) \
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("rows_out")) \
-            .collect()
+        # describe the same materialized result. Only partitions the write
+        # actually replaced THIS run (file mtime >= t0) are counted — dynamic
+        # overwrite leaves buckets absent from this run's data untouched, so
+        # a plain read-back would record stale prior-run files as 'ok'.
+        candidates = set(todo if todo is not None else range(self.n_buckets))
+        fresh = {b for b, mt in self._bucket_file_mtimes(table).items()
+                 if mt >= t0 - 0.05}
+        written_now = sorted(candidates & fresh)
+        # Candidate buckets with no data this run: drop any stale prior-run
+        # partition (upstream no longer produces it — overwrite semantics)
+        # and commit an explicit rows_out=0 row, so resume doesn't re-run an
+        # empty bucket forever and stale files are never recorded as current.
+        empty_now = sorted(candidates - fresh)
+        for b in empty_now:
+            p = os.path.join(self.table_path(table), f"bucket={b}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        written = []
+        if written_now:
+            written = self.spark.read.parquet(self.table_path(table)) \
+                .filter(F.col("bucket").isin(written_now)) \
+                .groupBy("bucket").agg(F.count(F.lit(1)).alias("rows_out")) \
+                .collect()
         run_id = uuid.uuid4().hex[:12]
         rows = [(table, int(r["bucket"]), int(r["rows_out"]), wall_ms,
                  run_id, None, "ok") for r in written]
+        rows += [(table, int(b), 0, wall_ms, run_id, None, "ok")
+                 for b in empty_now]
         lin = self.spark.createDataFrame(rows, LINEAGE_SCHEMA) \
             .withColumn("committed_at", F.current_timestamp())
         lin.write.mode("append").parquet(self.lineage_path)
         return {"written_buckets": sorted(int(r["bucket"]) for r in written),
                 "rows": sum(int(r["rows_out"]) for r in written)}
+
+    def _bucket_file_mtimes(self, table: str) -> dict[int, float]:
+        """bucket -> newest data-file mtime, from the filesystem (bounded:
+        n_buckets directories; the Iceberg analogue reads the snapshot's
+        file list instead)."""
+        base = self.table_path(table)
+        out: dict[int, float] = {}
+        if not os.path.isdir(base):
+            return out
+        for d in os.listdir(base):
+            if not d.startswith("bucket="):
+                continue
+            p = os.path.join(base, d)
+            mts = [os.path.getmtime(os.path.join(p, f))
+                   for f in os.listdir(p) if not f.startswith(("_", "."))]
+            if mts:
+                out[int(d.split("=", 1)[1])] = max(mts)
+        return out
 
     def read_stage(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(table))

@@ -68,3 +68,23 @@ def test_as_s2ts_and_print(spark):
     assert "3 records, 2 series" in txt and "2020-01-06" in txt
     with pytest.raises(ValueError):
         as_s2ts(df.select("url"), id_col="url")
+
+
+def test_pivot_values_accessor(spark):
+    # $value dcast semantics (s2ts-class.R:289-308): date rows, id columns,
+    # all-NA dates dropped
+    from sen2rts_spark.api import pivot_values
+    df = spark.createDataFrame(
+        [("a", "2020-01-01", 0.1), ("a", "2020-01-02", 0.2),
+         ("b", "2020-01-01", 0.9)],
+        "id string, date string, value double")
+    wide = pivot_values(df).orderBy("date")
+    assert sorted(wide.columns) == ["a", "b", "date"]
+    rows = wide.collect()
+    assert [r["date"] for r in rows] == ["2020-01-01", "2020-01-02"]
+    assert rows[0]["a"] == 0.1 and rows[0]["b"] == 0.9
+    assert rows[1]["a"] == 0.2 and rows[1]["b"] is None
+    # explicit ids: no discovery pass, absent series -> all-NA col,
+    # dates where no requested id has data are dropped
+    only_b = pivot_values(df, ids=["b"]).orderBy("date").collect()
+    assert len(only_b) == 1 and only_b[0]["b"] == 0.9

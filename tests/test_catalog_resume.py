@@ -87,3 +87,42 @@ def test_crash_between_data_and_lineage_no_duplicates(spark, tmp_path_factory):
     assert _snapshot(spark, crash, "tier_daily") == \
         _snapshot(spark, clean, "tier_daily")
     _sh.rmtree(base, ignore_errors=True)
+
+
+def test_empty_bucket_gets_lineage_and_resume_terminates(spark, tmp_path_factory):
+    """ADVICE r2: a todo bucket with no rows this run must still commit a
+    rows_out=0 lineage row (else resume re-runs it forever), and stale
+    prior-run files in a bucket absent from this run's data must not be
+    recorded as current."""
+    import shutil as _sh
+    from sen2rts_spark.sources.catalog import Catalog
+
+    base = str(tmp_path_factory.mktemp("cat3"))
+    daily = _daily(spark)
+    daily.cache()
+    # keep only rows hashing to a strict subset of buckets
+    some = daily.filter(
+        F.pmod(F.hash(F.col("id")), F.lit(8)).isin(0, 1, 2))
+
+    cat = Catalog(spark, os.path.join(base, "c"), n_buckets=8)
+    res = cat.write_stage(some, "tier_daily")
+    assert res["written_buckets"] == [0, 1, 2]
+    # every bucket has a lineage row; empty ones carry rows_out=0
+    lin = {r["bucket"]: r["rows_out"]
+           for r in cat.lineage().filter(F.col("stage") == "tier_daily").collect()}
+    assert sorted(lin) == list(range(8))
+    assert all(lin[b] == 0 for b in range(3, 8))
+    assert cat.completed_buckets("tier_daily") == list(range(8))
+
+    # resume is an immediate no-op — no infinite re-run of empty buckets
+    again = cat.write_stage(some, "tier_daily", resume=True)
+    assert again["written_buckets"] == [] and again["rows"] == 0
+
+    # upstream changed: bucket 2 no longer produced; its stale files must be
+    # dropped, not re-recorded
+    fewer = daily.filter(F.pmod(F.hash(F.col("id")), F.lit(8)).isin(0, 1))
+    res2 = cat.write_stage(fewer, "tier_daily")
+    assert res2["written_buckets"] == [0, 1]
+    assert not os.path.isdir(os.path.join(cat.table_path("tier_daily"),
+                                          "bucket=2"))
+    _sh.rmtree(base, ignore_errors=True)
