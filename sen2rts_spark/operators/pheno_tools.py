@@ -187,7 +187,8 @@ def detect_forages(ts: DataFrame, cycles: DataFrame,
                     ["id", "year"], "left")
 
 
-def fit_curves(filled: DataFrame, cycles: DataFrame, fit="gu") -> DataFrame:
+def fit_curves(filled: DataFrame, cycles: DataFrame, fit="gu",
+               rescale: tuple | None = None) -> DataFrame:
     """Per-cycle fitted curve, flattened to a long table — the Spark shape of
     the reference's nested fit object (s2fit_to_s2ts.R:6-20):
     (id, year, cycle, date, value_fitted, fit_method). Global rescale per
@@ -198,8 +199,14 @@ def fit_curves(filled: DataFrame, cycles: DataFrame, fit="gu") -> DataFrame:
     from ..kernels.dlog import fit_with_fallback
     from .grouped import grouped_apply
 
-    gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
-    rescale = (float(gmin), float(gmax) - float(gmin))
+    if rescale is None:
+        # persist: the agg job materializes the cache so the join below
+        # reuses it instead of re-running the upstream fill/smooth lineage
+        # (was a full second pass over `filled` per call). Callers with
+        # catalog stats can pass rescale=(gmin, gmax - gmin) directly.
+        filled = filled.persist()
+        gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
+        rescale = (float(gmin), float(gmax) - float(gmin))
 
     joined = filled.select("id", "date", "value").join(
         cycles.select("id", "year", "cycle", "begin", "end"), "id")

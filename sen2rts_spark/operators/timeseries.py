@@ -164,7 +164,8 @@ def cut_cycles(filled: DataFrame, **params) -> DataFrame:
 
 
 def extract_pheno(filled: DataFrame, cycles: DataFrame, fit="gu",
-                  method: str = "trs", trs: float = 0.5) -> DataFrame:
+                  method: str = "trs", trs: float = 0.5,
+                  rescale: tuple | None = None) -> DataFrame:
     """(obs_filled ⋈ cycles) → pheno metrics per cycle.
 
     The rescale is GLOBAL over the whole filled table (fit_curve.R:112 — NOT
@@ -181,8 +182,16 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit="gu",
     the RD date from the SD metric (extract_pheno.R:178 — an upstream quirk
     we do NOT reproduce; RD here is the recession date itself).
     """
-    gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
-    rescale = (float(gmin), float(gmax) - float(gmin))
+    if rescale is None:
+        # The min/max agg and the join both consume `filled`; without a
+        # persist the whole upstream lineage (fill → smooth → scan) would
+        # execute twice per call. The agg job materializes the cache, the
+        # join then reads InMemoryTableScan — one materialization total.
+        # Callers holding committed stage-table stats (catalog) can pass
+        # ``rescale=(gmin, gmax - gmin)`` and skip both the agg and the cache.
+        filled = filled.persist()
+        gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
+        rescale = (float(gmin), float(gmax) - float(gmin))
 
     joined = filled.select("id", "date", "value").join(cycles, "id")
     joined = joined.filter((F.col("date") >= F.col("begin"))
@@ -210,7 +219,7 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit="gu",
         raise ValueError(f"unknown method {method!r}")
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("date")
+        # groups arrive sorted by date (grouped_apply order=["date"])
         vals = pdf["value"].to_numpy(dtype=np.float64)
         relval = (vals - rescale[0]) / rescale[1]
         fitted = fit_with_fallback(relval, fit)

@@ -872,7 +872,7 @@ _PRIORITY = [
     "fill_spline_series", "cut_cycles_series", "aggregate_pheno_windows",
     "assign_season_topk", "detect_forages_flags", "fit_curves_long",
     "fit_curves_fallback", "extract_pheno_gu", "extract_pheno_klosterman",
-    "smooth_whittaker_series",
+    "smooth_whittaker_series", "cut_cycles_structural",
     # composites folding the §2 micro-families into the window
     "calendar_props_composite", "series_integrity_composite",
     "relational_stage_composite", "pivot_wide_accessor",
@@ -881,5 +881,6 @@ _PRIORITY = [
     "clamp_extrapolation", "rank_average_ties", "topk_per_group",
     "full_outer_restore", "grid_scaffold_join", "range_join_interval",
     "asof_nearest", "scl_decode", "piecewise_linear_combine",
-    "local_extrema",
+    # local_extrema moved past the window: W2/W3 evidence now comes from the
+    # (much stronger) cut_cycles_structural hash oracle + the golden fixtures
 ]

@@ -214,6 +214,154 @@ def q_cut_cycles_series(spark, sf_dir):
     return cut_cycles(fill(sm))
 
 
+# Structural oracle for the cycle detector (W2/W3 + assembly + year/weight/
+# top-k, cut_cycles.R:81-361): on a deterministic triangle-wave series the
+# sequential kernel's output is provably equal to a pure-SQL recomputation —
+# raw local maxima, prominence confirmation (min_relh=0.15 against per-gap
+# minima), per-confirmed-gap argmin cuts, (cut_k, cut_{k+1}, peak_k) pair
+# assembly, maxval-date year rule and the relval-integral weight. The
+# triangle uses only integer arithmetic + one exact double multiply, so both
+# engines compute bit-identical inputs; the restricted shape (alternating
+# sharp extrema, full-depth interior valleys, no plateaus/ties/NaN) is
+# exactly the class where the kernel's order-dependent confirmation loop
+# reduces to the order-free per-gap rule (see docstring proof sketch).
+_CUT_STRUCT_ORACLE = """
+WITH ids AS (SELECT DISTINCT user_id AS uid FROM events),
+grid AS (
+  SELECT uid, k FROM ids, (SELECT UNNEST(generate_series(0, 429)) AS k)
+),
+ser AS (
+  SELECT uid, k + 14 AS doy,
+         ABS((k + 14 + uid % 29) % (100 + (uid % 7) * 10)
+             - (100 + (uid % 7) * 10) / 2) + (k + 14) * 0.001 AS v
+  FROM grid
+),
+rel AS (
+  SELECT uid, doy,
+         (v - MIN(v) OVER (PARTITION BY uid))
+         / (MAX(v) OVER (PARTITION BY uid) - MIN(v) OVER (PARTITION BY uid))
+         AS relval
+  FROM ser
+),
+flags AS (
+  SELECT uid, doy, relval,
+         CASE WHEN LAG(relval) OVER w IS NOT NULL
+                   AND LEAD(relval) OVER w IS NOT NULL
+                   AND relval > LAG(relval) OVER w
+                   AND relval > LEAD(relval) OVER w
+              THEN 1 ELSE 0 END AS is_pk
+  FROM rel WINDOW w AS (PARTITION BY uid ORDER BY doy)
+),
+seg AS (
+  SELECT *, SUM(is_pk) OVER (PARTITION BY uid ORDER BY doy) AS segno
+  FROM flags
+),
+rawpk AS (
+  SELECT uid, doy, relval, segno AS pk_seq FROM seg WHERE is_pk = 1
+),
+gapmin AS (
+  SELECT uid, segno, MIN(relval) AS gmin
+  FROM seg WHERE is_pk = 0 GROUP BY uid, segno
+),
+conf AS (
+  SELECT p.uid, p.doy, p.relval
+  FROM rawpk p
+  JOIN gapmin lg ON lg.uid = p.uid AND lg.segno = p.pk_seq - 1
+  JOIN gapmin rg ON rg.uid = p.uid AND rg.segno = p.pk_seq
+  WHERE p.relval - lg.gmin >= 0.15 AND lg.gmin <= 0.6
+    AND p.relval - rg.gmin >= 0.15 AND rg.gmin <= 0.6
+),
+cseg AS (
+  SELECT s.uid, s.doy, s.relval,
+         CASE WHEN c.doy IS NOT NULL THEN 1 ELSE 0 END AS is_cpk,
+         SUM(CASE WHEN c.doy IS NOT NULL THEN 1 ELSE 0 END)
+             OVER (PARTITION BY s.uid ORDER BY s.doy) AS csegno
+  FROM seg s LEFT JOIN conf c ON c.uid = s.uid AND c.doy = s.doy
+),
+cuts AS (
+  SELECT uid, csegno AS k, ARG_MIN(doy, relval) AS cut_doy
+  FROM cseg WHERE is_cpk = 0 GROUP BY uid, csegno
+),
+asm AS (
+  SELECT c.uid, b.cut_doy AS begin_doy, e.cut_doy AS end_doy, c.doy AS max_doy
+  FROM (SELECT uid, doy,
+               ROW_NUMBER() OVER (PARTITION BY uid ORDER BY doy) AS j
+        FROM conf) c
+  JOIN cuts b ON b.uid = c.uid AND b.k = c.j - 1
+  JOIN cuts e ON e.uid = c.uid AND e.k = c.j
+),
+wgt AS (
+  SELECT a.uid, a.begin_doy, a.end_doy, a.max_doy,
+         SUM(r.relval) AS weight
+  FROM asm a
+  JOIN cseg r ON r.uid = a.uid AND r.doy >= a.begin_doy AND r.doy < a.end_doy
+  GROUP BY 1, 2, 3, 4
+),
+yr AS (
+  SELECT *,
+         CASE WHEN DATE '2020-01-01' + max_doy::INT
+                   > MAKE_DATE(EXTRACT(year FROM DATE '2020-01-01' + max_doy::INT)::INT, 1, 1)
+              THEN EXTRACT(year FROM DATE '2020-01-01' + max_doy::INT)::INT
+              ELSE EXTRACT(year FROM DATE '2020-01-01' + max_doy::INT)::INT - 1
+         END AS year
+  FROM wgt
+)
+SELECT CAST(uid AS VARCHAR) AS id,
+       year,
+       CAST(ROW_NUMBER() OVER (PARTITION BY uid, year ORDER BY begin_doy) AS INT)
+         AS cycle,
+       DATE '2020-01-01' + begin_doy::INT AS begin,
+       DATE '2020-01-01' + end_doy::INT AS "end",
+       DATE '2020-01-01' + max_doy::INT AS maxval,
+       ROUND(weight, 6) AS weight
+FROM yr
+"""
+
+
+@register("cut_cycles_structural", _CUT_STRUCT_ORACLE)
+def q_cut_cycles_structural(spark, sf_dir):
+    """Cycle detector vs independent SQL recomputation (hash-level oracle).
+
+    Per user_id a 430-day triangle wave ``|((doy + uid%29) % per) - per/2|
+    + doy/1000`` with per = 100 + (uid%7)*10 runs through the REAL
+    ``cut_cycles`` kernel; the DuckDB oracle re-derives the expected cycles
+    in pure SQL. Equivalence proof sketch for this input class (all values
+    distinct, extrema strictly alternating, interior valleys at full
+    amplitude):
+
+    - raw candidates = strict interior local maxima (plateau handling and
+      the endpoint sentinels never fire; threshold/clean passes keep all);
+    - the min_relh loop, though processed in height order, confirms exactly
+      the peaks whose raw-gap minima pass (prominence >= 0.15, drop <= 0.6):
+      interior gaps always pass, so only the two boundary gaps decide, and
+      extending a search range over an unconfirmed peak only deepens the
+      min, never flipping a pass to fail;
+    - every marked cut is the argmin of a union of adjacent confirmed gaps
+      (= the argmin of its deepest gap, a member of the per-gap argmin set),
+      and each per-gap argmin is marked when the later-processed adjacent
+      peak runs — so the final cut set is exactly {argmin per confirmed
+      gap}, order-free;
+    - assembly/year/weight/cycle numbering then follow cut_cycles.R:306-347
+      verbatim in both engines.
+    """
+    from .operators.timeseries import cut_cycles
+    ids = load(spark, sf_dir, "events") \
+        .select(F.col("user_id").cast("long").alias("uid")).distinct()
+    grid = ids.crossJoin(spark.range(0, 430).select(F.col("id").alias("k")))
+    per = F.lit(100) + (F.col("uid") % 7) * 10
+    doy = F.col("k") + 14
+    x = (doy + F.col("uid") % 29) % per
+    ser = grid.select(
+        F.col("uid").cast("string").alias("id"),
+        F.date_add(F.lit("2020-01-01").cast("date"), doy.cast("int"))
+         .alias("date"),
+        (F.abs(x - (per / 2).cast("long")) + doy * F.lit(0.001))
+         .alias("value"))
+    out = cut_cycles(ser)
+    return out.select("id", "year", "cycle", "begin", "end", "maxval",
+                      F.round("weight", 6).alias("weight"))
+
+
 # --------------------------------------------------------------------------
 # Cycle post-processing operators (aggregate_pheno / assign_season family)
 # --------------------------------------------------------------------------
