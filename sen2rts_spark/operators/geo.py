@@ -1,0 +1,63 @@
+"""Geometry helpers: st_poi over a DataFrame of WKT polygons.
+
+The reference's ``st_poi()`` (st_poi.R:19-47) maps polylabelr::poi over an
+sf dataset with one shared default precision — 1/1000 of the mean
+equivalent-square side over ALL inputs (st_poi.R:25-27). Here the mean-area
+pass is one Spark aggregate over a kernel-computed area column, and the POI
+itself runs vectorized-per-polygon inside mapInPandas (one Arrow batch per
+task, no per-row Python round trips).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..kernels.polylabel import parse_wkt_polygon, poi, polygon_area
+
+__all__ = ["st_poi"]
+
+
+def st_poi(df: DataFrame, wkt_col: str = "geometry",
+           precision: float | None = None) -> DataFrame:
+    """df + POLYGON wkt column → df + (poi_x, poi_y, poi_dist).
+
+    ``precision=None`` reproduces the reference default: mean(sqrt(area))/1e3
+    over the whole input (one extra agg job; pass an explicit precision to
+    skip it — recommended when calling in a loop or at scale with known
+    units).
+    """
+    other = [c for c in df.columns if c != wkt_col]
+
+    if precision is None:
+        def _area(batches):
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "a": [polygon_area(parse_wkt_polygon(w))
+                          for w in pdf[wkt_col]]})
+        areas = df.select(wkt_col).mapInPandas(_area, schema="a double")
+        m = areas.agg(F.avg(F.sqrt("a"))).first()[0]
+        precision = (float(m) / 1e3) if m else 1e-9
+
+    prec = float(precision)
+
+    def _fn(batches):
+        for pdf in batches:
+            xs, ys, ds = [], [], []
+            for w in pdf[wkt_col]:
+                x, y, d = poi(parse_wkt_polygon(w), precision=prec)
+                xs.append(x)
+                ys.append(y)
+                ds.append(d)
+            out = pdf[other + [wkt_col]].copy()
+            out["poi_x"] = xs
+            out["poi_y"] = ys
+            out["poi_dist"] = ds
+            yield out
+
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields
+                          if f.name in other + [wkt_col])
+    schema = in_schema + ", poi_x double, poi_y double, poi_dist double"
+    return df.select(*other, wkt_col).mapInPandas(_fn, schema=schema)
