@@ -46,6 +46,19 @@ def cpu_snap():
         v = list(map(int, f.readline().split()[1:]))
     return v  # user nice sys idle iowait irq softirq steal ...
 
+import numpy as _np
+_CAL = _np.arange(2_000_000, dtype=_np.float64)
+def calibrate():
+    # single-thread host-speed probe (~0.5 s when healthy): the sandbox
+    # degrades on ~10-min timescales WITHOUT visible steal (rep at 2.6%%
+    # steal ran 2.5x slow), so /proc/stat alone cannot normalize reps.
+    # The probe rate right before each rep gives a per-rep speed index.
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(30):
+        s += float(_np.cumsum(_CAL)[-1])
+    return time.perf_counter() - t0
+
 spark = get_spark("scaling-%%d" %% cores, cores=cores)  # 3 tasks/core default
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -74,6 +87,7 @@ print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "run":
         break
+    cal = calibrate()
     c0 = cpu_snap()
     t0 = time.time()
     n = run_load()
@@ -83,6 +97,7 @@ for line in sys.stdin:
     steal = d[7] / max(sum(d), 1)
     print(json.dumps({"cores": cores, "sec": dt, "points": int(n),
                       "pps": n / dt, "steal_pct": round(100 * steal, 1),
+                      "cal_sec": round(cal, 3),
                       "t_end": time.time()}), flush=True)
 spark.stop()
 """
@@ -185,6 +200,15 @@ def main():
             results[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
             results[f"per_pair_efficiency_{lo}_to_{hi}"] = pairs
             results[f"per_pair_eff_steal_adj_{lo}_to_{hi}"] = adj
+            # host-speed-normalized: multiply each pps by its rep's
+            # calibration time (slow host => larger cal_sec scales pps up)
+            if all("cal_sec" in s for s in samples[lo] + samples[hi]):
+                cal_adj = [round((h["pps"] * h["cal_sec"])
+                                 / (l["pps"] * l["cal_sec"]) / 4, 3)
+                           for l, h in zip(samples[lo], samples[hi])]
+                results[f"per_pair_eff_cal_adj_{lo}_to_{hi}"] = cal_adj
+                results[f"eff_cal_adj_{lo}_to_{hi}"] = round(
+                    statistics.median(cal_adj), 3)
             results[f"eff_steal_adj_{lo}_to_{hi}"] = round(
                 statistics.median(adj), 3)
             print(f"scaling efficiency (N={lo} -> 4N={hi}): {eff:.3f} raw, "
