@@ -667,3 +667,77 @@ def q_token_count_bpe_ish(spark, sf_dir):
         F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
         .alias("n_bpe_tokens"),
         F.size(ws).alias("n_ws_tokens"))
+
+
+# --------------------------------------------------------------------------
+# Corpus-statistics operators (Gopher-style repetition, document frequency)
+# --------------------------------------------------------------------------
+
+@register("repetition_ratio", """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, len(w) - 4 AS total,
+         len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4]
+                            for i in range(1, len(w) - 3)])) AS uniq
+  FROM words WHERE len(w) >= 5)
+SELECT doc_id, total AS n_grams,
+       ROUND(1.0 - uniq / total, 6) AS rep_ratio
+FROM grams
+""")
+def q_repetition_ratio(spark, sf_dir):
+    """Duplicate word-5-gram fraction per document (the Gopher/MassiveText
+    repetition signal used to drop boilerplate-heavy docs). Tokenize once
+    via posexplode, 5-grams from lead() windows (same CollapseProject-safe
+    shape as _shingle_rows), one groupBy(doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    ex = d.select("doc_id", F.posexplode(words).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    g = ex.select(
+        "doc_id",
+        F.concat_ws(" ", "w", *[F.lead("w", i).over(win) for i in range(1, 5)])
+        .alias("g"),
+        F.lead("w", 4).over(win).alias("_w4")).filter(F.col("_w4").isNotNull())
+    agg = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("uniq"))
+    return agg.select(
+        "doc_id", "n_grams",
+        F.round(F.lit(1.0) - F.col("uniq") / F.col("n_grams"), 6)
+        .alias("rep_ratio"))
+
+
+@register("term_doc_freq", """
+WITH words AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   w -> w <> '')) AS ws
+  FROM documents),
+df AS (
+  SELECT word, COUNT(*) AS df
+  FROM (SELECT doc_id, UNNEST(ws) AS word FROM words) GROUP BY word)
+SELECT word, df,
+       ROUND(df / (SELECT COUNT(*) FROM documents), 6) AS df_frac
+FROM df
+ORDER BY df DESC, word
+LIMIT 100
+""")
+def q_term_doc_freq(spark, sf_dir):
+    """Document frequency of the top-100 terms (inverted-index /
+    boilerplate-detection building block): explode DISTINCT words per doc
+    (map-side dedup bounds the shuffle by vocab x docs, not tokens), one
+    groupBy(word), deterministic (df DESC, word) top-k."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    words = F.array_distinct(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
+    df = d.select("doc_id", F.explode(words).alias("word")) \
+        .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return df.select(
+        "word", "df",
+        F.round(F.col("df") / F.lit(float(n_docs)), 6).alias("df_frac")) \
+        .orderBy(F.desc("df"), "word").limit(100)
