@@ -759,7 +759,8 @@ def q_series_integrity_composite(spark, sf_dir):
             g = _math.gcd(g, int(v))
         return pd.DataFrame([{"user_id": pdf["user_id"].iloc[0], "g": g}])
 
-    g = d.groupBy("user_id").applyInPandas(_gcd_fn, "user_id bigint, g bigint")
+    from .operators.grouped import grouped_apply
+    g = grouped_apply(d, ["user_id"], _gcd_fn, "user_id bigint, g bigint")
     dup = (e.groupBy("user_id", "ts").agg(F.count(F.lit(1)).alias("n"))
            .filter(F.col("n") > 1)
            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_dup_keys")))
