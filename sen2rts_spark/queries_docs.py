@@ -53,17 +53,33 @@ N_BANDS = 8
 ROWS_PER_BAND = 4
 N_PERMS = N_BANDS * ROWS_PER_BAND
 
+# Kirsch-Mitzenmacher permutation family: ONE md5 per shingle, split into
+# two 28-bit halves (h1, h2), perm_i = (h1 + i*h2) mod 2^31-1. Equivalent
+# LSH guarantees to independent hashes (Kirsch & Mitzenmacher 2006), 32x
+# fewer digest computations than the round-2 salted-md5-per-perm scheme
+# (the signature stage was 32 md5 calls per shingle row). All arithmetic
+# stays below 2^34, safe in BIGINT for both engines (DuckDB errors on
+# int64 overflow rather than wrapping, so the bound matters).
+_KM_MOD = 2147483647
+_HP_SQL = """
+  SELECT doc_id,
+         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(s), 8, 7) AS BIGINT) AS h2
+  FROM (SELECT doc_id, UNNEST(sh) AS s FROM shingles)
+"""
 _SIG_MINS_SQL = ", ".join(
-    f"MIN(md5('s{i}' || s)) AS h{i}" for i in range(1, N_PERMS + 1))
+    f"MIN((h1 + {i} * h2) % {_KM_MOD}) AS h{i}"
+    for i in range(1, N_PERMS + 1))
 _BANDS_SQL = "\n  UNION ALL\n".join(
-    "  SELECT doc_id, " + " || ".join(
+    "  SELECT doc_id, " + " || '_' || ".join(
         f"h{b * ROWS_PER_BAND + r + 1}" for r in range(ROWS_PER_BAND))
     + f" AS band FROM sig"
     for b in range(N_BANDS))
 _CAND_SQL = f"""
+hp AS ({_HP_SQL}),
 sig AS (
   SELECT doc_id, {_SIG_MINS_SQL}
-  FROM (SELECT doc_id, UNNEST(sh) AS s FROM shingles) GROUP BY doc_id),
+  FROM hp GROUP BY doc_id),
 bands AS (
 {_BANDS_SQL}),
 cand AS (
@@ -76,8 +92,8 @@ cand AS (
 def _band_rows(sig):
     """signature df → (doc_id, band) rows, one per band, single pass."""
     bands = [
-        F.concat(*[F.col(f"h{b * ROWS_PER_BAND + r + 1}")
-                   for r in range(ROWS_PER_BAND)])
+        F.concat_ws("_", *[F.col(f"h{b * ROWS_PER_BAND + r + 1}")
+                           for r in range(ROWS_PER_BAND)])
         for b in range(N_BANDS)
     ]
     return sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
@@ -141,17 +157,25 @@ def _shingle_rows(spark, sf_dir):
 
 
 @register("minhash_signature", f"""
-WITH shingles AS ({_SHINGLES_SQL})
+WITH shingles AS ({_SHINGLES_SQL}),
+hp AS ({_HP_SQL})
 SELECT doc_id, {_SIG_MINS_SQL}
-FROM (SELECT doc_id, UNNEST(sh) AS s FROM shingles)
-GROUP BY doc_id
+FROM hp GROUP BY doc_id
 """)
 def q_minhash_signature(spark, sf_dir):
-    """MinHash over 3-word shingles: N_PERMS salted md5 permutations
-    (lexicographic min of hex = min of the 128-bit hash value)."""
+    """MinHash over 3-word shingles, Kirsch-Mitzenmacher permutations:
+    one md5 per shingle split into 28-bit (h1, h2), perm_i = (h1 + i·h2)
+    mod 2^31-1 — 32 integer mins per doc instead of 32 digests per
+    shingle."""
     ex = _shingle_rows(spark, sf_dir)
-    return ex.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"s{i}"), F.col("s")))).alias(f"h{i}")
+    h = F.md5("s")
+    hp = ex.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 7), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 8, 7), 16, 10).cast("long").alias("h2"))
+    return hp.groupBy("doc_id").agg(*[
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_KM_MOD))
+        .alias(f"h{i}")
         for i in range(1, N_PERMS + 1)])
 
 
