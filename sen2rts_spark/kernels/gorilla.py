@@ -192,6 +192,9 @@ def gorilla_encode(ts: np.ndarray, values: np.ndarray) -> bytes:
     ts = np.asarray(ts, dtype=np.int64)
     values = np.asarray(values, dtype=np.float64)
     n = len(ts)
+    if len(values) != n:
+        raise ValueError(
+            f"ts/values length mismatch: {n} vs {len(values)}")
     header = _MAGIC + struct.pack(">I", n)
     if n == 0:
         return header
