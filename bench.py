@@ -115,7 +115,9 @@ def main() -> None:
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).count()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # 3 reps: the host degrades in ~10-minute phases (BENCH/BASELINE.md),
+    # so min-of-3 has a much better chance of touching a healthy window
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
 
     # headline service path
