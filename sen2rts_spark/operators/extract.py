@@ -34,11 +34,20 @@ def extract_text(html_col) -> F.Column:
 
     substring_index (plain byte search) instead of ``<p>(.*?)</p>`` regex —
     same bytes on single-<p> pages, ~40% cheaper on the 6M-row bench scan
-    (regex engine off the hot path). The when() guard preserves the
-    regex's empty-string result when no paragraph markup exists."""
+    (regex engine off the hot path). The guard requires the first ``<p>``
+    to precede the first ``</p>`` (not merely both to exist), so a page
+    whose markup opens with a stray ``</p>`` yields '' instead of garbage.
+    Contract (documented per round-3 ADVICE): byte-identical to the
+    generator's single-paragraph pages — the tested input class. On
+    malformed pages (nested/multiple ``<p>``, ``</p>``-before-``<p>``,
+    newline-spanning paragraphs) this follows byte-search semantics —
+    content between the last ``<p>`` before the first ``</p>`` — which
+    intentionally diverges from the old non-DOTALL regex there."""
     s = F.decode(html_col, "UTF-8")
     body = F.substring_index(F.substring_index(s, "</p>", 1), "<p>", -1)
-    return F.when(s.contains("<p>") & s.contains("</p>"), body).otherwise("")
+    popen = F.instr(s, "<p>")
+    return F.when((popen > 0) & (popen < F.instr(s, "</p>")), body) \
+        .otherwise("")
 
 
 def extract_obs(pages: DataFrame, fun: str = "mean") -> DataFrame:

@@ -202,9 +202,11 @@ def fit_curves(filled: DataFrame, cycles: DataFrame, fit="gu",
     if rescale is None:
         # persist: the agg job materializes the cache so the join below
         # reuses it instead of re-running the upstream fill/smooth lineage
-        # (was a full second pass over `filled` per call). Callers with
+        # (was a full second pass over `filled` per call). persist_swap
+        # bounds repeated calls to one live cache (see _cache). Callers with
         # catalog stats can pass rescale=(gmin, gmax - gmin) directly.
-        filled = filled.persist()
+        from ._cache import persist_swap
+        filled = persist_swap(filled)
         gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
         rescale = (float(gmin), float(gmax) - float(gmin))
 

@@ -187,9 +187,11 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit="gu",
         # persist the whole upstream lineage (fill → smooth → scan) would
         # execute twice per call. The agg job materializes the cache, the
         # join then reads InMemoryTableScan — one materialization total.
+        # persist_swap bounds repeated calls to one live cache (see _cache).
         # Callers holding committed stage-table stats (catalog) can pass
         # ``rescale=(gmin, gmax - gmin)`` and skip both the agg and the cache.
-        filled = filled.persist()
+        from ._cache import persist_swap
+        filled = persist_swap(filled)
         gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
         rescale = (float(gmin), float(gmax) - float(gmin))
 

@@ -744,8 +744,7 @@ def q_series_integrity_composite(spark, sf_dir):
     # Composite of A13 (GCD of date diffs, fill_s2ts.R:52-58), A12 ((id,
     # date) dup detect, s2ts-class.R:208-214) and A7 (type-1 quantile,
     # cut_cycles.R:149) — the per-series sanity checks run before fill.
-    import math as _math
-
+    import numpy as np
     import pandas as pd
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -754,9 +753,7 @@ def q_series_integrity_composite(spark, sf_dir):
         .filter(F.col("dd").isNotNull() & (F.col("dd") > 0))
 
     def _gcd_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = 0
-        for v in pdf["dd"]:
-            g = _math.gcd(g, int(v))
+        g = int(np.gcd.reduce(pdf["dd"].to_numpy(dtype=np.int64)))
         return pd.DataFrame([{"user_id": pdf["user_id"].iloc[0], "g": g}])
 
     from .operators.grouped import grouped_apply

@@ -85,6 +85,7 @@ class Catalog:
             todo = sorted(only_buckets) if todo is None else \
                 sorted(set(todo) & set(only_buckets))
 
+        before = self._bucket_file_sets(table)
         t0 = time.time()
         # Dynamic partition overwrite makes a bucket re-write idempotent: a
         # crash between the data commit and the lineage commit is repaired by
@@ -97,13 +98,18 @@ class Catalog:
 
         # Lineage counts come from the COMMITTED files, not a re-evaluation of
         # the (possibly non-deterministic) upstream plan: data + lineage then
-        # describe the same materialized result. Only partitions the write
-        # actually replaced THIS run (file mtime >= t0) are counted — dynamic
-        # overwrite leaves buckets absent from this run's data untouched, so
-        # a plain read-back would record stale prior-run files as 'ok'.
+        # describe the same materialized result. Replaced partitions are
+        # derived from the WRITE ITSELF — the per-bucket file-name set diff
+        # around the write (Spark names every part file with a fresh job/task
+        # UUID, so a replaced bucket always changes its set; an untouched one
+        # never does). No wall-clock/mtime involved: immune to coarse mtime
+        # granularity and executor clock skew (round-3 ADVICE — the mtime
+        # heuristic could silently rmtree a bucket written this run). This is
+        # the snapshot-file-list diff an Iceberg commit gives for free.
         candidates = set(todo if todo is not None else range(self.n_buckets))
-        fresh = {b for b, mt in self._bucket_file_mtimes(table).items()
-                 if mt >= t0 - 0.05}
+        after = self._bucket_file_sets(table)
+        fresh = {b for b, names in after.items()
+                 if names != before.get(b, frozenset())}
         written_now = sorted(candidates & fresh)
         # Candidate buckets with no data this run: drop any stale prior-run
         # partition (upstream no longer produces it — overwrite semantics)
@@ -131,22 +137,23 @@ class Catalog:
         return {"written_buckets": sorted(int(r["bucket"]) for r in written),
                 "rows": sum(int(r["rows_out"]) for r in written)}
 
-    def _bucket_file_mtimes(self, table: str) -> dict[int, float]:
-        """bucket -> newest data-file mtime, from the filesystem (bounded:
-        n_buckets directories; the Iceberg analogue reads the snapshot's
-        file list instead)."""
+    def _bucket_file_sets(self, table: str) -> dict[int, frozenset]:
+        """bucket -> frozenset of data-file names, from the filesystem
+        (bounded: n_buckets directories; the Iceberg analogue reads the
+        snapshot's file list instead). Buckets with zero data files are
+        omitted so an empty dir equals an absent one in the write diff."""
         base = self.table_path(table)
-        out: dict[int, float] = {}
+        out: dict[int, frozenset] = {}
         if not os.path.isdir(base):
             return out
         for d in os.listdir(base):
             if not d.startswith("bucket="):
                 continue
             p = os.path.join(base, d)
-            mts = [os.path.getmtime(os.path.join(p, f))
-                   for f in os.listdir(p) if not f.startswith(("_", "."))]
-            if mts:
-                out[int(d.split("=", 1)[1])] = max(mts)
+            names = frozenset(f for f in os.listdir(p)
+                              if not f.startswith(("_", ".")))
+            if names:
+                out[int(d.split("=", 1)[1])] = names
         return out
 
     def read_stage(self, table: str) -> DataFrame:
