@@ -152,27 +152,29 @@ def _encode_small(header: bytes, ts: np.ndarray, values: np.ndarray) -> bytes:
             w.write(dod & ((1 << 64) - 1), 64)
     bits = values.view(np.uint64)
     xors = (bits[1:] ^ bits[:-1]).tolist()
-    prev_lead, prev_mean = 65, 0  # invalid window → first nonzero xor writes one
+    # blob-global window (same policy as the vectorized path — see
+    # gorilla_encode docstring): one pre-pass finds the tightest window
+    # covering every nonzero XOR, the stream is then one '11' + N×'10'.
+    lead_g, trail_g = 64, 64
+    for x in xors:
+        if x:
+            lead = _clz64(x)
+            lead_g = min(lead_g, 31 if lead > 31 else lead)
+            trail_g = min(trail_g, (x & -x).bit_length() - 1)
+    mean_g = 64 - lead_g - trail_g
+    first = True
     for x in xors:
         if x == 0:
             w.write(0, 1)
             continue
-        w.write(1, 1)
-        lead = _clz64(x)
-        if lead > 31:
-            lead = 31  # paper caps leading-zero field
-        trail = (x & -x).bit_length() - 1
-        meaningful = 64 - lead - trail
-        if (prev_lead <= lead and
-                (64 - prev_lead - prev_mean) <= trail):
-            w.write(0, 1)
-            w.write(x >> (64 - prev_lead - prev_mean), prev_mean)
+        if first:
+            w.write(0b11, 2)
+            w.write(lead_g, 6)
+            w.write(mean_g - 1, 6)  # 1..64 stored as 0..63
+            first = False
         else:
-            w.write(1, 1)
-            w.write(lead, 6)
-            w.write(meaningful - 1, 6)  # 1..64 stored as 0..63
-            w.write(x >> trail, meaningful)
-            prev_lead, prev_mean = lead, meaningful
+            w.write(0b10, 2)
+        w.write(x >> trail_g, mean_g)
     return header + w.getvalue()
 
 
@@ -235,36 +237,37 @@ def gorilla_encode(ts: np.ndarray, values: np.ndarray) -> bytes:
     tv[:, 2] = du & np.uint64(0xFFFFFFFF)
     tw[:, 2] = np.where(cls == 4, 32, 0).astype(np.uint8)
 
-    # ---- value tokens: ctrl + optional 12b window header + mbits (split)
+    # ---- value tokens: blob-global window (one '11' header, then '10'
+    # reuse for every later nonzero XOR). The window is the tightest
+    # (lead, trail) covering ALL nonzero XORs, so every payload fits by
+    # construction. Chosen over the paper's shrink-fit because the decoder
+    # can then batch the whole value stream as fixed-width tokens
+    # (_decode_values_vec) — any window policy is valid Gorilla, the
+    # decoder follows the control bits (paper §4.1.2).
     bits = values.view(np.uint64)
     xors = bits[1:] ^ bits[:-1]
     nz = xors != 0
-    bl = _bitlen64(xors).astype(np.int64)
-    lead = np.minimum(64 - bl, 31)          # paper caps the 6b lead field
-    low = xors & (~xors + np.uint64(1))     # x & -x
-    trail = _bitlen64(low).astype(np.int64) - 1   # -1 on zero xor (unused)
-    mean = 64 - lead - trail
     idxnz = np.flatnonzero(nz)
-    reuse = np.zeros(m, dtype=bool)
-    if len(idxnz) > 1:
-        same = ((lead[idxnz[1:]] == lead[idxnz[:-1]])
-                & (trail[idxnz[1:]] == trail[idxnz[:-1]]))
-        reuse[idxnz[1:][same]] = True
-    new = nz & ~reuse
     vv = np.zeros((m, 4), dtype=np.uint64)
     vw = np.zeros((m, 4), dtype=np.uint8)
     vw[:, 0] = np.where(nz, 2, 1).astype(np.uint8)
-    vv[:, 0] = np.where(reuse, np.uint64(0b10),
-                        np.where(nz, np.uint64(0b11), np.uint64(0)))
-    vw[new, 1] = 12
-    vv[new, 1] = ((lead[new].astype(np.uint64) << np.uint64(6))
-                  | (mean[new] - 1).astype(np.uint64))
-    trail_u = np.where(nz, trail, 0).astype(np.uint64)
-    mb = xors >> trail_u                     # fits in `mean` bits by design
-    vw[:, 2] = np.where(nz & (mean > 32), mean - 32, 0).astype(np.uint8)
-    vv[:, 2] = mb >> np.uint64(32)
-    vw[:, 3] = np.where(nz, np.minimum(mean, 32), 0).astype(np.uint8)
-    vv[:, 3] = mb & np.uint64(0xFFFFFFFF)
+    if len(idxnz):
+        xnz = xors[idxnz]
+        bl = _bitlen64(xnz)
+        lead_g = int(min(int(np.min(64 - bl)), 31))  # 6b lead field cap
+        low = xnz & (~xnz + np.uint64(1))            # x & -x
+        trail_g = int(np.min(_bitlen64(low))) - 1
+        mean_g = 64 - lead_g - trail_g
+        first = idxnz[0]
+        vv[nz, 0] = np.uint64(0b10)
+        vv[first, 0] = np.uint64(0b11)
+        vw[first, 1] = 12
+        vv[first, 1] = np.uint64((lead_g << 6) | (mean_g - 1))
+        mb = xors >> np.uint64(trail_g)     # fits in mean_g bits by design
+        vw[nz, 2] = max(mean_g - 32, 0)
+        vv[:, 2] = mb >> np.uint64(32)
+        vw[nz, 3] = min(mean_g, 32)
+        vv[:, 3] = mb & np.uint64(0xFFFFFFFF)
 
     allw = np.concatenate([tw.ravel(), vw.ravel()])
     allv = np.concatenate([tv.ravel(), vv.ravel()])
@@ -272,18 +275,47 @@ def gorilla_encode(ts: np.ndarray, values: np.ndarray) -> bytes:
     return header + _pack_tokens(allv[used], allw[used])
 
 
+def _next_set_bit(arr: np.ndarray, b: int) -> int:
+    """Position of the first set bit at or after byte ``b`` (galloping byte
+    scan: O(gap/8) work, no whole-stream precompute)."""
+    step = 32
+    while b < len(arr):
+        chunk = arr[b:b + step]
+        if chunk.any():
+            off = int(np.argmax(chunk != 0))
+            return ((b + off) << 3) + (8 - int(arr[b + off]).bit_length())
+        b += step
+        step = min(step * 2, 1 << 20)
+    return len(arr) << 3
+
+
 def _decode_ts_slow(r: "_BitReader", ts: np.ndarray, start: int, delta: int):
     """General delta-of-delta walk from ts[start-1] with running ``delta``.
 
-    Inlined bit reads (peek the 4-bit class prefix once per point) — the
-    method-dispatch version ran ~2x slower on irregular series.
+    Runs of '0' dod tokens (stable cadence — the dominant layout after a
+    tier rollup, including regular-with-gaps series between the gaps) are
+    literal runs of 0 bits at token boundaries and are filled as one
+    arithmetic batch; everything else is the scalar walk with inlined bit
+    reads (peek the 4-bit class prefix once per point — the method-dispatch
+    version ran ~2x slower on irregular series).
     """
     data = bytes(r.data) + b"\x00" * 10
+    arr = np.frombuffer(data, dtype=np.uint8)
     pos = r.pos
     from_bytes = int.from_bytes
     t = int(ts[start - 1])
-    for i in range(start, len(ts)):
+    n = len(ts)
+    i = start
+    while i < n:
         s = pos >> 3
+        if data[s] & (0xFF >> (pos & 7)) == 0 and data[s + 1] == 0:
+            # >= 9 consecutive '0' dods: batch-fill the cadence run
+            run = min(_next_set_bit(arr, s + 1) - pos, n - i)
+            ts[i:i + run] = t + delta * np.arange(1, run + 1, dtype=np.int64)
+            t += delta * run
+            pos += run
+            i += run
+            continue
         chunk = from_bytes(data[s:s + 2], "big")
         cls = (chunk >> (12 - (pos & 7))) & 0xF
         if cls < 8:            # '0'
@@ -314,6 +346,7 @@ def _decode_ts_slow(r: "_BitReader", ts: np.ndarray, start: int, delta: int):
         delta += dod
         t += delta
         ts[i] = t
+        i += 1
     r.pos = pos
 
 
@@ -334,36 +367,32 @@ def gorilla_decode(blob: bytes):
         return ts, vals_bits.view(np.float64)
 
     r = _BitReader(blob[24:])
-    # Fast path — regular cadence (the daily/hourly tier layout): the first
-    # dod is a '1111'+64b full delta, every later dod is a single '0' bit.
-    # One vectorized check replaces the per-point control-bit walk.
-    if n >= 3 and r.read(4) == 0b1111:
-        delta0 = r.read(64)
-        if delta0 >= (1 << 63):
-            delta0 -= 1 << 64
-        probe = _BitReader(blob[24:])
-        probe.pos = 68
-        ntail = n - 2
-        if probe.read(ntail) == 0:
-            ts[1:] = t0 + delta0 * np.arange(1, n, dtype=np.int64)
-            r.pos = 68 + ntail
-        else:
-            # irregular: first dod fully consumed (pos already 68)
-            ts[1] = t0 + delta0
-            _decode_ts_slow(r, ts, 2, delta0)
-    else:
-        r.pos = 0
-        _decode_ts_slow(r, ts, 1, 0)
+    # Regular cadence (the daily/hourly tier layout) is one '0'-dod run
+    # after the first token — _decode_ts_slow batch-fills it arithmetically;
+    # irregular stretches fall back to its scalar walk per token.
+    _decode_ts_slow(r, ts, 1, 0)
 
-    # value stream: hot loop with inlined bit reads (method dispatch and a
-    # per-point np.uint64() construction measured ~2x of the decode cost)
-    data = bytes(r.data) + b"\x00" * 10  # pad: end-of-stream peeks read full width
-    pos = r.pos
-    prev = int(v0_bits)
-    prev_lead, prev_mean = 65, 0
-    out = vals_bits
+    # value stream: small blobs → scalar walk (numpy fixed costs dominate
+    # under ~_SMALL_N points); large blobs → run-batched vectorized decode
+    data = bytes(r.data) + b"\x00" * 16  # pad: end-of-stream peeks read full width
+    if n < _SMALL_N:
+        _decode_values_scalar(data, r.pos, vals_bits, 1, int(v0_bits), 65, 0)
+    else:
+        _decode_values_vec(data, r.pos, vals_bits, n)
+    return ts, vals_bits.view(np.float64)
+
+
+def _decode_values_scalar(data: bytes, pos: int, out: np.ndarray, start: int,
+                          prev: int, prev_lead: int, prev_mean: int):
+    """Per-point value-stream walk from out[start] with window state given.
+
+    Follows ANY encoder window policy (shrink-fit, exact-match, global).
+    Inlined bit reads: method dispatch and per-point np.uint64() construction
+    measured ~2x of the decode cost.
+    """
+    n = len(out)
     from_bytes = int.from_bytes
-    for i in range(1, n):
+    for i in range(start, n):
         # peek 2 control bits without advancing
         s = pos >> 3
         chunk = from_bytes(data[s:s + 2], "big")
@@ -395,4 +424,120 @@ def gorilla_decode(blob: bytes):
             prev ^= mbits << (64 - lead - mean)
             prev_lead, prev_mean = lead, mean
         out[i] = prev
-    return ts, vals_bits.view(np.float64)
+
+
+def _decode_values_vec(data: bytes, pos: int, out: np.ndarray, n: int):
+    """Run-batched value-stream decode: O(runs) numpy calls, no per-point
+    Python on the common path.
+
+    Exploits the stream structure rather than a fixed policy: a run of '0'
+    control bits is literally a run of 0 *bits* at token boundaries (found
+    with one searchsorted into the set-bit index), and consecutive '10'
+    tokens under a stable window are fixed-width (2+mean bits), so their
+    control bits sit at an arithmetic progression — one strided compare
+    finds the run length, one gather+shift extracts all payloads, and
+    np.bitwise_xor.accumulate chains the values. Blobs written by this
+    module's global-window encoder decode in O(1) runs; '11' window changes
+    are handled scalar, and a stream dominated by them (old shrink-fit
+    blobs) bails out to _decode_values_scalar after 24 window changes.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)
+    B = len(arr) << 3
+    swv = np.lib.stride_tricks.sliding_window_view(arr, 8)
+    sh8 = (np.arange(7, -1, -1) * 8).astype(np.uint64)
+
+    def extract(p: np.ndarray, k: int) -> np.ndarray:
+        """bits [p, p+k) of the stream as uint64 (k <= 64, p int64 array)."""
+        b = p >> 3
+        off = (p & 7).astype(np.uint64)
+        a = (swv[b].astype(np.uint64) << sh8).sum(axis=1)
+        nxtb = arr[b + 8].astype(np.uint64)
+        hi = (a << off) | (nxtb >> (np.uint64(8) - off))
+        return hi >> np.uint64(64 - k)
+
+    def bit_at(p):
+        return (arr[p >> 3] >> (7 - (p & 7))) & 1
+
+    from_bytes = int.from_bytes
+    i = 1
+    prev = int(out[0])
+    prev_lead, prev_mean = 65, 0
+    streak = 0  # consecutive '10' tokens decoded scalar since last other token
+    while i < n:
+        s = pos >> 3
+        chunk = from_bytes(data[s:s + 2], "big")
+        if (chunk >> (15 - (pos & 7))) & 1 == 0:
+            # ---- '0' token → repeat. A '0'-token run is literally a run of
+            # 0 bits at a token boundary; if the rest of this byte AND the
+            # next are zero (>= 9 tokens) batch the whole run with one byte
+            # scan + slice fill, else stay scalar (bytes-level reads — numpy
+            # scalar indexing here measured ~10x slower).
+            if data[s] & (0xFF >> (pos & 7)) == 0 and data[s + 1] == 0:
+                r0 = min(_next_set_bit(arr, s + 1) - pos, n - i)
+                out[i:i + r0] = np.uint64(prev)
+                i += r0
+                pos += r0
+            else:
+                out[i] = prev
+                i += 1
+                pos += 1
+            streak = 0
+            continue
+        if (chunk >> (14 - (pos & 7))) & 1 == 0:  # ctrl '10': window reuse
+            streak += 1
+            if streak >= 24 and n - i > 64 and prev_mean:
+                # ---- long run of '10' under a stable window: fixed width
+                # w, control bits on an arithmetic progression → one strided
+                # compare finds the run length, one gather+shift extracts
+                # all payloads, bitwise_xor.accumulate chains the values.
+                # Gallop (doubling cap) keeps per-iteration numpy work
+                # proportional to the ACTUAL run length; short runs never
+                # reach here (the 24-token scalar streak gate), so numpy
+                # fixed costs stay off run-structured streams.
+                w = 2 + prev_mean
+                shift = np.uint64(64 - prev_lead - prev_mean)
+                cap = 512
+                while i < n:
+                    ps = pos + w * np.arange(min(cap, n - i), dtype=np.int64)
+                    ps = ps[:np.searchsorted(ps, B - 1)]  # stay in-pad
+                    good = (bit_at(ps) == 1) & (bit_at(ps + 1) == 0)
+                    r = len(ps) if good.all() else int(np.argmin(good))
+                    if r:
+                        seq = np.bitwise_xor.accumulate(
+                            extract(ps[:r] + 2, prev_mean) << shift)
+                        out[i:i + r] = seq ^ np.uint64(prev)
+                        prev = int(out[i + r - 1])
+                        i += r
+                        pos += r * w
+                    if r == cap and i < n:
+                        cap *= 2
+                        continue
+                    break
+                streak = 0
+                continue
+            pos += 2
+            k = prev_mean
+            e = (pos + k + 7) >> 3
+            chunk = from_bytes(data[pos >> 3:e], "big")
+            mbits = (chunk >> ((e << 3) - (pos + k))) & ((1 << k) - 1)
+            pos += k
+            prev ^= mbits << (64 - prev_lead - prev_mean)
+            out[i] = prev
+            i += 1
+        else:  # ctrl '11': new window — 6b lead + 6b (meaningful-1) + bits
+            streak = 0
+            pos += 2
+            e = (pos + 12 + 7) >> 3
+            chunk = from_bytes(data[pos >> 3:e], "big")
+            hdr = (chunk >> ((e << 3) - (pos + 12))) & 0xFFF
+            pos += 12
+            prev_lead = hdr >> 6
+            prev_mean = (hdr & 63) + 1
+            e = (pos + prev_mean + 7) >> 3
+            chunk = from_bytes(data[pos >> 3:e], "big")
+            mbits = (chunk >> ((e << 3) - (pos + prev_mean))) \
+                & ((1 << prev_mean) - 1)
+            pos += prev_mean
+            prev ^= mbits << (64 - prev_lead - prev_mean)
+            out[i] = prev
+            i += 1
