@@ -12,7 +12,6 @@ the blob table is the storage unit of the retention service:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -115,26 +114,38 @@ def encode_blobs(tier_df: DataFrame, tier: str, chunk_days: int = 366,
 
 
 def decode_blobs(blobs: DataFrame) -> DataFrame:
-    """Blob table → long (id, tier, bucket_start, value) via mapInPandas."""
+    """Blob table → long (id, tier, bucket_start, value) via mapInArrow.
+
+    Per-blob codec calls are the only Python loop; the row explosion is
+    Arrow-native (pc.take with a repeated index vector — no Python string
+    materialization, no pandas frame build)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_type = pa.schema([
+        ("id", pa.string()), ("tier", pa.string()),
+        ("bucket_start", pa.timestamp("us")), ("value", pa.float64()),
+    ])
 
     def _fn(batches):
-        for pdf in batches:
-            ids, tiers, ts_all, vals_all = [], [], [], []
-            for rid, rtier, rblob in zip(pdf["id"], pdf["tier"], pdf["blob"]):
-                ts, vals = gorilla_decode(bytes(rblob))
-                ids.extend([rid] * len(ts))
-                tiers.extend([rtier] * len(ts))
+        for batch in batches:
+            blob_col = batch.column(batch.schema.get_field_index("blob"))
+            ts_all, vals_all, counts = [], [], []
+            for rblob in blob_col:
+                ts, vals = gorilla_decode(rblob.as_py())
                 ts_all.append(ts)
                 vals_all.append(vals)
-            yield pd.DataFrame({
-                "id": ids,
-                "tier": tiers,
-                "bucket_start": pd.to_datetime(
-                    np.concatenate(ts_all) if ts_all else np.array([], dtype=np.int64),
-                    unit="s"),
-                "value": np.concatenate(vals_all) if vals_all else
-                    np.array([], dtype=np.float64),
-            })
+                counts.append(len(ts))
+            if not counts:
+                continue
+            idx = pa.array(np.repeat(np.arange(len(counts)), counts))
+            ts_us = np.concatenate(ts_all) * 1_000_000
+            yield pa.record_batch([
+                pc.take(batch.column(batch.schema.get_field_index("id")), idx),
+                pc.take(batch.column(batch.schema.get_field_index("tier")), idx),
+                pa.array(ts_us).cast(pa.timestamp("us")),
+                pa.array(np.concatenate(vals_all)),
+            ], schema=out_type)
 
-    return blobs.mapInPandas(
+    return blobs.mapInArrow(
         _fn, schema="id string, tier string, bucket_start timestamp, value double")
