@@ -859,26 +859,33 @@ from . import queries_docs  # noqa: E402,F401
 _PRIORITY = [
     # LLM-data-pipeline set (queries_docs)
     "dedup_exact", "minhash_signature", "minhash_lsh_candidates",
-    "ngram_jaccard_pairs", "simhash_64", "token_count_bpe_ish",
-    "quality_score", "lang_id_heuristic", "doc_fingerprint",
-    "ann_cosine_topk", "ann_lsh_bucketed", "embedding_norms",
-    "label_centroid_distance", "media_metadata", "media_feature_extract",
-    "dedup_embedding_near",
-    # rollup / retention / compression / per-series kernels (queries_ts)
+    "minhash_lsh_capped", "ngram_jaccard_pairs", "simhash_64",
+    "token_count_bpe_ish", "quality_score", "lang_id_heuristic",
+    "doc_fingerprint", "ann_cosine_topk", "ann_lsh_bucketed",
+    "embedding_norms", "label_centroid_distance", "media_metadata",
+    "media_feature_extract", "dedup_embedding_near",
+    # rollup / retention / compression (queries_ts)
     "rollup_daily", "rollup_tier_chain", "rollup_weekly_retention",
-    "gorilla_roundtrip_daily", "fill_linear_daily", "smooth_savgol_series",
-    "fill_spline_series", "cut_cycles_series", "aggregate_pheno_windows",
-    "assign_season_topk", "detect_forages_flags", "fit_curves_long",
-    "fit_curves_fallback", "extract_pheno_gu", "extract_pheno_klosterman",
-    "smooth_whittaker_series", "cut_cycles_structural",
+    "gorilla_roundtrip_daily", "fill_linear_daily",
+    # per-series kernels — hash-level structural oracles (round 4): the REAL
+    # kernels on characterized input classes vs pure-SQL recomputation. The
+    # rows-only real-data forms (smooth_savgol_series, fill_spline_series,
+    # cut_cycles_series, fit_curves_long/_fallback, extract_pheno_gu/
+    # _klosterman, smooth_whittaker_series) moved to the registry tail —
+    # every kernel family in the window now carries a value-verified row.
+    "cut_cycles_structural", "fill_spline_structural",
+    "savgol_poly_structural", "whittaker_linear_structural",
+    "fit_curves_invariant", "extract_pheno_structural",
+    "aggregate_pheno_windows", "assign_season_topk", "detect_forages_flags",
     # composites folding the §2 micro-families into the window
     "calendar_props_composite", "series_integrity_composite",
     "relational_stage_composite", "pivot_wide_accessor",
-    # structurally significant §2 operators
+    # structurally significant §2 operators (+ two micro-queries rotated
+    # back into the window per round-3 ADVICE: the readable W2/W3 form and
+    # the broadcast-join plan shape)
     "filter_project", "best_agg", "global_rescale", "per_group_norm",
     "clamp_extrapolation", "rank_average_ties", "topk_per_group",
     "full_outer_restore", "grid_scaffold_join", "range_join_interval",
     "asof_nearest", "scl_decode", "piecewise_linear_combine",
-    # local_extrema moved past the window: W2/W3 evidence now comes from the
-    # (much stronger) cut_cycles_structural hash oracle + the golden fixtures
+    "local_extrema", "broadcast_dim_join",
 ]

@@ -99,7 +99,7 @@ def _band_rows(sig):
     return sig.select("doc_id", F.explode(F.array(*bands)).alias("band"))
 
 
-def _lsh_candidate_pairs(sig, hot_bucket_cap=None):
+def _lsh_candidate_pairs(sig, hot_bucket_cap=None, band_rows=None):
     """Candidate pairs sharing >=1 LSH band, computed in ONE pass over the
     signature: groupBy(band) + in-bucket pair expansion. The former
     band-self-join evaluated the (expensive) signature subtree once per join
@@ -114,7 +114,7 @@ def _lsh_candidate_pairs(sig, hot_bucket_cap=None):
     members of one bucket are mutually candidate through the hub). Default
     None = exhaustive, matching the DuckDB oracle's pair semantics exactly.
     """
-    g = _band_rows(sig).groupBy("band").agg(
+    g = (_band_rows(sig) if band_rows is None else band_rows).groupBy("band").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")) \
         .filter(F.size("ds") > 1)
     all_pairs = F.expr(
@@ -189,6 +189,48 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     a band bucket. The band hash is the shuffle key — one shuffle, in-bucket
     pair expansion, no recomputation of the signature subtree."""
     return _lsh_candidate_pairs(q_minhash_signature(spark, sf_dir))
+
+
+_HOT_CAP = 8
+
+@register("minhash_lsh_capped", f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+{_CAND_SQL.split('cand AS')[0]}
+bands2 AS (
+  SELECT doc_id, band FROM bands
+  UNION ALL
+  SELECT doc_id, 'PLANTED_HOT' AS band FROM documents WHERE doc_id % 7 = 3),
+bl AS (
+  SELECT band, list_sort(list(DISTINCT doc_id)) AS ds
+  FROM bands2 GROUP BY band HAVING COUNT(DISTINCT doc_id) > 1),
+mem AS (
+  SELECT band, UNNEST(ds) AS doc_id, len(ds) AS n, ds[1] AS hub FROM bl)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mem a JOIN mem b ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE a.n <= {_HOT_CAP}
+  UNION ALL
+  SELECT hub AS doc_a, doc_id AS doc_b FROM mem
+  WHERE n > {_HOT_CAP} AND doc_id <> hub)
+""")
+def q_minhash_lsh_capped(spark, sf_dir):
+    """The PRODUCTION-shaped LSH plan: hot-bucket star-pair cap ON, gated
+    against a planted hot bucket (round-3 VERDICT missing #5).
+
+    Every ``doc_id % 7 == 3`` document (~14% of the corpus — far above the
+    cap) is injected into one synthetic band bucket; real buckets flow
+    through unchanged. With ``hot_bucket_cap=8``, buckets of <= 8 members
+    expand exhaustively and hotter ones emit only (min-doc hub, member)
+    star pairs — the DuckDB oracle mirrors exactly that rule, so the gate
+    hash-verifies the capped emission itself, not just the exhaustive path
+    (which tests/test_lsh_hot_bucket.py covers at the unit level).
+    """
+    sig = q_minhash_signature(spark, sf_dir)
+    planted = load(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 7 == 3) \
+        .select("doc_id", F.lit("PLANTED_HOT").alias("band"))
+    rows = _band_rows(sig).unionByName(planted)
+    return _lsh_candidate_pairs(sig, hot_bucket_cap=_HOT_CAP, band_rows=rows)
 
 
 @register("ngram_jaccard_pairs", f"""

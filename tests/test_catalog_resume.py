@@ -126,3 +126,64 @@ def test_empty_bucket_gets_lineage_and_resume_terminates(spark, tmp_path_factory
     assert not os.path.isdir(os.path.join(cat.table_path("tier_daily"),
                                           "bucket=2"))
     _sh.rmtree(base, ignore_errors=True)
+
+
+def test_rerun_same_snapshot_idempotent_merge(spark, tmp_path_factory):
+    """Iceberg-semantics (VERDICT r3 task 10): re-running the SAME logical
+    snapshot over a complete table is a MERGE-key no-op on contents — every
+    bucket is replaced with identical rows (dynamic overwrite = Iceberg
+    atomic partition replace, docs/ICEBERG.sql), never appended/duplicated,
+    and lineage gains a second full snapshot with a distinct run_id."""
+    import shutil as _sh
+    from sen2rts_spark.sources.catalog import Catalog
+
+    base = str(tmp_path_factory.mktemp("cat4"))
+    daily = _daily(spark)
+    daily.cache()
+
+    cat = Catalog(spark, os.path.join(base, "c"), n_buckets=8)
+    cat.write_stage(daily, "tier_daily")
+    snap1 = _snapshot(spark, cat, "tier_daily")
+
+    res2 = cat.write_stage(daily, "tier_daily")  # same input, re-run
+    assert res2["written_buckets"] == list(range(8))
+    assert _snapshot(spark, cat, "tier_daily") == snap1  # no dup/drift
+
+    lin = cat.lineage().filter(F.col("stage") == "tier_daily")
+    run_ids = [r["run_id"] for r in lin.select("run_id").distinct().collect()]
+    assert len(run_ids) == 2  # two committed snapshots in history
+    # each snapshot is complete: 8 buckets per run_id
+    per_run = {r["run_id"]: r["n"] for r in
+               lin.groupBy("run_id").agg(F.countDistinct("bucket").alias("n"))
+                  .collect()}
+    assert all(n == 8 for n in per_run.values())
+    _sh.rmtree(base, ignore_errors=True)
+
+
+def test_concurrent_writers_disjoint_buckets(spark, tmp_path_factory):
+    """Iceberg-semantics: two writers committing DISJOINT bucket ranges of
+    the same table (the multi-executor partition-ownership layout) never
+    clobber each other — dynamic overwrite touches only each writer's own
+    partitions, and the union equals a single-writer run."""
+    import shutil as _sh
+    from sen2rts_spark.sources.catalog import Catalog
+
+    base = str(tmp_path_factory.mktemp("cat5"))
+    daily = _daily(spark)
+    daily.cache()
+
+    clean = Catalog(spark, os.path.join(base, "clean"), n_buckets=8)
+    clean.write_stage(daily, "tier_daily")
+
+    shared = os.path.join(base, "shared")
+    w1 = Catalog(spark, shared, n_buckets=8)
+    w2 = Catalog(spark, shared, n_buckets=8)
+    r1 = w1.write_stage(daily, "tier_daily", only_buckets=[0, 1, 2, 3])
+    r2 = w2.write_stage(daily, "tier_daily", only_buckets=[4, 5, 6, 7])
+    assert r1["written_buckets"] == [0, 1, 2, 3]
+    assert r2["written_buckets"] == [4, 5, 6, 7]
+
+    assert _snapshot(spark, w1, "tier_daily") == \
+        _snapshot(spark, clean, "tier_daily")
+    assert w1.completed_buckets("tier_daily") == list(range(8))
+    _sh.rmtree(base, ignore_errors=True)

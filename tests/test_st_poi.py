@@ -68,3 +68,22 @@ def test_st_poi_operator(spark):
     # explicit precision skips the dataset-mean agg job
     out2 = st_poi(df, "geometry", precision=1e-3).collect()
     assert len(out2) == 2
+
+
+def test_st_poi_stats_precision_no_probe(spark):
+    """stats={'mean_sqrt_area': m} must reproduce the default-precision
+    result without running the dataset-mean probe job (VERDICT r3 task 9)."""
+    import numpy as np
+    from sen2rts_spark.operators.geo import st_poi
+    df = spark.createDataFrame(
+        [("a", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+         ("b", "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")],
+        "pid string, geometry string")
+    m = (np.sqrt(16.0) + np.sqrt(20.0)) / 2.0  # mean sqrt(area) by hand
+    probe = {r["pid"]: r for r in st_poi(df, "geometry").collect()}
+    stats = {r["pid"]: r for r in
+             st_poi(df, "geometry", stats={"mean_sqrt_area": m}).collect()}
+    for pid in ("a", "b"):
+        assert probe[pid]["poi_x"] == stats[pid]["poi_x"]
+        assert probe[pid]["poi_y"] == stats[pid]["poi_y"]
+        assert probe[pid]["poi_dist"] == stats[pid]["poi_dist"]
