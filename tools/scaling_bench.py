@@ -85,7 +85,12 @@ prewarm_python_workers(spark)
 run_load()
 print("READY", flush=True)
 for line in sys.stdin:
-    if line.strip() != "run":
+    cmd = line.strip()
+    if cmd == "cal":
+        # health probe only: no Spark job, just the single-thread speed index
+        print(json.dumps({"cal_sec": round(calibrate(), 3)}), flush=True)
+        continue
+    if cmd != "run":
         break
     cal = calibrate()
     c0 = cpu_snap()
@@ -118,8 +123,8 @@ class Level:
             if line.strip() == "READY":
                 break
 
-    def run_once(self) -> dict:
-        self.proc.stdin.write("run\n")
+    def _cmd(self, cmd: str) -> dict:
+        self.proc.stdin.write(cmd + "\n")
         self.proc.stdin.flush()
         while True:
             line = self.proc.stdout.readline()
@@ -128,6 +133,12 @@ class Level:
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
+
+    def run_once(self) -> dict:
+        return self._cmd("run")
+
+    def cal(self) -> float:
+        return self._cmd("cal")["cal_sec"]
 
     def close(self):
         try:
@@ -167,17 +178,80 @@ def main():
     children = {c: Level(c, pages_path, conc) for c in levels}
     samples: dict[int, list] = {c: [] for c in levels}
     t_start = time.time()
-    for rep in range(runs):
-        for c in levels:  # interleaved: rep k of every level back-to-back
-            s = children[c].run_once()
-            samples[c].append(s)
-            print(f"rep {rep + 1}/{runs} local[{c}]: {s['sec']:.1f}s "
-                  f"{s['pps'] / 1000:.0f}k pts/s", flush=True)
+    probe_log: list[dict] = []
+    if os.environ.get("SPARK_GRAFT_SCALING_MODE", "") == "auto":
+        # Steal-gated quiet-window collector (round-3 VERDICT task 2): the
+        # host degrades in ~10-min phases and steals 6-10% from wide loads
+        # in bad phases, which caps *apparent* same-box scaling no matter
+        # what the engine does. Instead of averaging through that, probe
+        # host health first — idle steal < 1% over the probe window AND the
+        # single-thread cal probe within 5% across both children and within
+        # 15% of the best cal seen — and only then time one interleaved
+        # pair (order alternated to cancel drift). Collect until `runs`
+        # qualifying pairs or the budget expires. Every probe, accepted or
+        # not, is logged; nothing is discarded silently.
+        budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC",
+                                      "4200"))
+        best_cal = float("inf")
+
+        def _steal_window(sec: float = 1.0) -> float:
+            with open("/proc/stat") as f:
+                a = list(map(int, f.readline().split()[1:]))
+            time.sleep(sec)
+            with open("/proc/stat") as f:
+                b = list(map(int, f.readline().split()[1:]))
+            d = [y - x for x, y in zip(a, b)]
+            return 100.0 * d[7] / max(sum(d), 1)
+
+        npair = 0
+        while len(samples[levels[0]]) < runs \
+                and time.time() - t_start < budget:
+            cals = {c: children[c].cal() for c in levels}
+            steal = _steal_window(1.0)
+            best_cal = min(best_cal, *cals.values())
+            spread = max(cals.values()) / min(cals.values()) - 1
+            slow = max(cals.values()) / best_cal - 1
+            quiet = steal < 1.0 and spread < 0.05 and slow < 0.15
+            probe_log.append({"t": round(time.time() - t_start, 1),
+                              "cals": cals, "steal_idle_pct": round(steal, 2),
+                              "accepted": quiet})
+            print(f"probe t+{probe_log[-1]['t']:.0f}s cal={cals} "
+                  f"steal={steal:.2f}% -> "
+                  f"{'PAIR' if quiet else 'wait'}", flush=True)
+            if not quiet:
+                time.sleep(15)
+                continue
+            order = levels if npair % 2 == 0 else tuple(reversed(levels))
+            npair += 1
+            for c in order:
+                s = children[c].run_once()
+                samples[c].append(s)
+                print(f"pair {npair} local[{c}]: {s['sec']:.1f}s "
+                      f"{s['pps'] / 1000:.0f}k pts/s "
+                      f"steal {s['steal_pct']}%", flush=True)
+    else:
+        for rep in range(runs):
+            for c in levels:  # interleaved: rep k of every level back-to-back
+                s = children[c].run_once()
+                samples[c].append(s)
+                print(f"rep {rep + 1}/{runs} local[{c}]: {s['sec']:.1f}s "
+                      f"{s['pps'] / 1000:.0f}k pts/s", flush=True)
     for ch in children.values():
         ch.close()
 
     results = {"protocol": "interleaved", "concurrency": conc,
                "wall_sec": round(time.time() - t_start, 1)}
+    if probe_log:
+        results["protocol"] = "auto_quiet_window"
+        results["probes"] = probe_log
+    if not all(samples[c] for c in levels):
+        results["note"] = "no qualifying quiet-window pairs within budget"
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        print("no qualifying pairs collected; probes logged")
+        return
+
     for c in levels:
         pps = [s["pps"] for s in samples[c]]
         results[f"local[{c}]"] = {
