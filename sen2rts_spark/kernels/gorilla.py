@@ -19,7 +19,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["gorilla_encode", "gorilla_decode"]
+__all__ = ["gorilla_encode", "gorilla_encode_multi", "gorilla_decode"]
 
 _MAGIC = b"GTS1"
 
@@ -92,19 +92,13 @@ def _bitlen64(x: np.ndarray) -> np.ndarray:
     return np.maximum(np.maximum(blh, bll), 0.0).astype(np.int64)
 
 
-def _pack_tokens(vals: np.ndarray, widths: np.ndarray) -> bytes:
-    """Pack variable-width bit tokens (each <= 32 bits) MSB-first.
-
-    Vectorized: cumulative bit offsets place every token; each token is
-    left-shifted to its byte-aligned end and OR-merged byte-wise into the
-    buffer (np.bitwise_or.at handles boundary bytes shared by two tokens).
-    A shifted token spans <= ceil((32+7)/8) = 5 bytes.
-    """
+def _pack_tokens_buf(vals: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """_pack_tokens returning the uint8 buffer (no bytes copy)."""
     widths64 = widths.astype(np.int64)
     end = np.cumsum(widths64)
     total = int(end[-1]) if len(end) else 0
     if total == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8)
     start = end - widths64
     shift = ((-end) % 8).astype(np.uint64)
     shifted = vals.astype(np.uint64) << shift
@@ -118,7 +112,20 @@ def _pack_tokens(vals: np.ndarray, widths: np.ndarray) -> bytes:
             break
         byte = (shifted[sel] >> np.uint64(8 * j)) & np.uint64(0xFF)
         np.bitwise_or.at(buf, last[sel] - j, byte.astype(np.uint8))
-    return buf.tobytes()
+    return buf
+
+
+def _pack_tokens(vals: np.ndarray, widths: np.ndarray) -> bytes:
+    """Pack variable-width bit tokens (each <= 32 bits) MSB-first.
+
+    Vectorized: cumulative bit offsets place every token; each token is
+    left-shifted to its byte-aligned end and OR-merged byte-wise into the
+    buffer (np.bitwise_or.at handles boundary bytes shared by two tokens).
+    A shifted token spans <= ceil((32+7)/8) = 5 bytes. Zero-width tokens
+    are inert (they advance no bits and write no bytes), so callers may
+    leave unused slots in place instead of filtering.
+    """
+    return _pack_tokens_buf(vals, widths).tobytes()
 
 
 # Below this length the ~0.4 ms fixed cost of the vectorized path (25+
@@ -273,6 +280,175 @@ def gorilla_encode(ts: np.ndarray, values: np.ndarray) -> bytes:
     allv = np.concatenate([tv.ravel(), vv.ravel()])
     used = allw > 0
     return header + _pack_tokens(allv[used], allw[used])
+
+
+def gorilla_encode_multi(ts: np.ndarray, values: np.ndarray,
+                         starts: np.ndarray):
+    """Encode MANY concatenated series in one vectorized pass.
+
+    ``ts``/``values`` are all groups' points back to back; ``starts`` holds
+    each group's first index (``starts[0] == 0``, strictly increasing, every
+    group non-empty). Returns ``(data, offsets)``: blob ``g`` is
+    ``data[offsets[g]:offsets[g+1]]`` (uint8 array / int64 offsets), each
+    decodable by :func:`gorilla_decode`.
+
+    Token policy is gorilla_encode's blob-global value window applied per
+    group, so output is byte-identical to ``gorilla_encode(group)`` for
+    groups >= _SMALL_N; short groups get the same (valid) policy instead of
+    the scalar path's shrink-fit — the decoder follows control bits either
+    way. The point of this entry is the sink hot path: the ~25-dispatch
+    numpy fixed cost that made per-blob encode ~0.4 ms is paid once per
+    *batch* here — dod classes, XOR windows (per-group minimum.reduceat),
+    and ONE global bit-pack with a <=7-bit per-group alignment pad so every
+    blob starts byte-aligned in the shared buffer. No per-group Python.
+    """
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    starts = np.asarray(starts, dtype=np.int64)
+    N = len(ts)
+    G = len(starts)
+    if len(values) != N:
+        raise ValueError(f"ts/values length mismatch: {N} vs {len(values)}")
+    if G == 0:
+        return np.zeros(0, np.uint8), np.zeros(1, np.int64)
+    ends = np.append(starts[1:], N)
+    ns = ends - starts
+    if np.any(ns <= 0):
+        raise ValueError("empty group in starts")
+    ms = ns - 1                              # token rows per group
+    bits = values.view(np.uint64)
+
+    # ---- token-row geometry (one row per point except each group's first)
+    tok_mask = np.ones(N, dtype=bool)
+    tok_mask[starts] = False
+    tokidx = np.flatnonzero(tok_mask)        # point index of each token row
+    T = len(tokidx)
+    gid = np.repeat(np.arange(G), ms)        # group of each token row
+    tokstart = np.concatenate(([0], np.cumsum(ms)[:-1]))
+    k = np.arange(T) - tokstart[gid]         # local token index (0 = 2nd pt)
+
+    # ---- timestamp tokens (same classes as gorilla_encode)
+    if T:
+        deltas = ts[tokidx] - ts[tokidx - 1]
+        dods = np.empty(T, dtype=np.int64)
+        dods[0] = 0
+        np.subtract(deltas[1:], deltas[:-1], out=dods[1:])
+        kz = k == 0                          # first token of its group
+        dods[kz] = deltas[kz]                # dod_1 := delta_1
+    else:
+        dods = np.zeros(0, np.int64)
+    cls = np.select(
+        [dods == 0,
+         (dods >= -63) & (dods <= 64),
+         (dods >= -255) & (dods <= 256),
+         (dods >= -2047) & (dods <= 2048)],
+        [0, 1, 2, 3], default=4)
+    du = dods.view(np.uint64)
+    tv = np.zeros((T, 3), dtype=np.uint64)
+    tw = np.zeros((T, 3), dtype=np.uint8)
+    tv[:, 0] = np.array([0b0, 0b10, 0b110, 0b1110, 0b1111],
+                        dtype=np.uint64)[cls]
+    tw[:, 0] = np.array([1, 2, 3, 4, 4], dtype=np.uint8)[cls]
+    tv[:, 1] = np.select(
+        [cls == 1, cls == 2, cls == 3, cls == 4],
+        [(du + np.uint64(63)) & np.uint64(0x7F),
+         (du + np.uint64(255)) & np.uint64(0x1FF),
+         (du + np.uint64(2047)) & np.uint64(0xFFF),
+         du >> np.uint64(32)],
+        default=np.uint64(0))
+    tw[:, 1] = np.array([0, 7, 9, 12, 32], dtype=np.uint8)[cls]
+    # zero-width slots are kept in the global pack (no `used` filter here),
+    # so their values MUST be 0 — mask the low-half payload to class 4
+    tv[:, 2] = np.where(cls == 4, du & np.uint64(0xFFFFFFFF), np.uint64(0))
+    tw[:, 2] = np.where(cls == 4, 32, 0).astype(np.uint8)
+
+    # ---- value tokens: per-group global window via segment reductions
+    xors = bits[tokidx] ^ bits[tokidx - 1] if T else np.zeros(0, np.uint64)
+    nz = xors != 0
+    bl = _bitlen64(xors)                     # 0 where xor == 0
+    lead_cand = np.where(nz, np.minimum(64 - bl, 31), 64)
+    low = xors & (~xors + np.uint64(1))
+    trail_cand = np.where(nz, _bitlen64(low) - 1, 64)
+    fidx_cand = np.where(nz, np.arange(T), T)
+
+    lead_g = np.full(G, 64, dtype=np.int64)
+    trail_g = np.full(G, 64, dtype=np.int64)
+    first_g = np.full(G, T, dtype=np.int64)
+    ne = ms > 0                              # groups owning token rows
+    if ne.any():
+        seg = tokstart[ne]
+        lead_g[ne] = np.minimum.reduceat(lead_cand, seg)
+        trail_g[ne] = np.minimum.reduceat(trail_cand, seg)
+        first_g[ne] = np.minimum.reduceat(fidx_cand, seg)
+    has_nz = first_g < T
+    mean_g = np.where(has_nz, 64 - lead_g - trail_g, 0)
+
+    lead_r = lead_g[gid]
+    trail_r = trail_g[gid].astype(np.uint64)
+    mean_r = mean_g[gid]
+
+    vv = np.zeros((T, 4), dtype=np.uint64)
+    vw = np.zeros((T, 4), dtype=np.uint8)
+    vw[:, 0] = np.where(nz, 2, 1).astype(np.uint8)
+    vv[nz, 0] = np.uint64(0b10)
+    fg = first_g[has_nz]                     # token row of each '11' header
+    vv[fg, 0] = np.uint64(0b11)
+    vw[fg, 1] = 12
+    vv[fg, 1] = ((lead_g[has_nz].astype(np.uint64) << np.uint64(6))
+                 | (mean_g[has_nz] - 1).astype(np.uint64))
+    mb = np.where(nz, xors >> trail_r, np.uint64(0))
+    vw[:, 2] = np.where(nz, np.maximum(mean_r - 32, 0), 0).astype(np.uint8)
+    vv[:, 2] = mb >> np.uint64(32)
+    vw[:, 3] = np.where(nz, np.minimum(mean_r, 32), 0).astype(np.uint8)
+    vv[:, 3] = mb & np.uint64(0xFFFFFFFF)
+    vv[~nz] = 0                              # zero-width slots must be 0
+
+    # ---- scatter into blob-major slot order:
+    #      [3m ts slots][4m value slots][1 alignment-pad slot] per group
+    slots = 7 * ms + 1
+    base = np.concatenate(([0], np.cumsum(slots)[:-1]))
+    S = int(base[-1] + slots[-1])
+    allv = np.zeros(S, dtype=np.uint64)
+    allw = np.zeros(S, dtype=np.uint8)
+    if T:
+        ts_dest = (base[gid] + 3 * k)[:, None] + np.arange(3)
+        allv[ts_dest.ravel()] = tv.ravel()
+        allw[ts_dest.ravel()] = tw.ravel()
+        v_dest = (base[gid] + 3 * ms[gid] + 4 * k)[:, None] + np.arange(4)
+        allv[v_dest.ravel()] = vv.ravel()
+        allw[v_dest.ravel()] = vw.ravel()
+
+    # per-group bit totals -> <=7-bit pad so each blob starts byte-aligned
+    roww = tw.sum(axis=1, dtype=np.int64) + vw.sum(axis=1, dtype=np.int64)
+    bits_g = np.zeros(G, dtype=np.int64)
+    if ne.any():
+        bits_g[ne] = np.add.reduceat(roww, tokstart[ne])
+    pad_w = (-bits_g) % 8
+    allw[base + 7 * ms] = pad_w.astype(np.uint8)
+
+    # zero-width slots contribute no bits — drop them before the pack
+    # (3.4x fewer elements: ~2.1 real tokens per point vs 7 slots)
+    used = allw > 0
+    buf = _pack_tokens_buf(allv[used], allw[used])
+
+    # ---- assemble [24B header | token bytes] per group in one buffer
+    tokbytes = (bits_g + pad_w) >> 3
+    sizes = 24 + tokbytes
+    offsets = np.concatenate(([0], np.cumsum(sizes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    hdr = np.empty((G, 24), dtype=np.uint8)
+    hdr[:, :4] = np.frombuffer(_MAGIC, dtype=np.uint8)
+    hdr[:, 4:8] = ns.astype(">u4").view(np.uint8).reshape(G, 4)
+    hdr[:, 8:16] = ts[starts].astype(">i8").view(np.uint8).reshape(G, 8)
+    hdr[:, 16:24] = bits[starts].astype(">u8").view(np.uint8).reshape(G, 8)
+    hdr_dest = offsets[:-1, None] + np.arange(24)
+    out[hdr_dest.ravel()] = hdr.ravel()
+    if len(buf):
+        srccum = np.concatenate(([0], np.cumsum(tokbytes)[:-1]))
+        tok_dest = (np.arange(len(buf))
+                    + np.repeat(offsets[:-1] + 24 - srccum, tokbytes))
+        out[tok_dest] = buf
+    return out, offsets
 
 
 def _next_set_bit(arr: np.ndarray, b: int) -> int:

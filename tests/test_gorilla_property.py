@@ -65,3 +65,66 @@ def test_roundtrip_dispatch_seam_sizes():
         ts = np.cumsum(rng.integers(1, 1000, n))
         vals = rng.normal(0, 1, n)
         _roundtrip(ts, vals)
+
+
+# ---- multi-group batch encoder (gorilla_encode_multi) ----------------------
+
+from sen2rts_spark.kernels.gorilla import gorilla_encode_multi  # noqa: E402
+
+
+def _multi_groups(groups):
+    """Encode a list of (ts, vals) groups in one multi call; yield blobs."""
+    ts_all = np.concatenate([np.asarray(g[0], np.int64) for g in groups])
+    v_all = np.concatenate([np.asarray(g[1], np.float64) for g in groups])
+    sizes = [len(g[0]) for g in groups]
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.int64)
+    data, off = gorilla_encode_multi(ts_all, v_all, starts)
+    assert int(off[-1]) == len(data)
+    return [data[off[i]:off[i + 1]].tobytes() for i in range(len(groups))]
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31),
+       ngroups=st.integers(min_value=1, max_value=40))
+@settings(max_examples=40, deadline=None)
+def test_multi_roundtrip_mixed_groups(seed, ngroups):
+    rng = np.random.default_rng(seed)
+    groups = []
+    for _ in range(ngroups):
+        n = int(rng.integers(1, 300))
+        ts = np.cumsum(rng.integers(1, 10**5, n)) - 10**6
+        vals = rng.normal(0, 1e3, n)
+        vals[rng.random(n) < 0.1] = np.nan
+        vals[rng.random(n) < 0.1] = 0.0
+        groups.append((ts, vals))
+    for blob, (ts, vals) in zip(_multi_groups(groups), groups):
+        dts, dvals = gorilla_decode(blob)
+        assert np.array_equal(dts, np.asarray(ts, np.int64))
+        assert np.array_equal(dvals.view(np.uint64),
+                              np.asarray(vals, np.float64).view(np.uint64))
+
+
+def test_multi_byte_identical_to_single_for_large_groups():
+    # same window policy as gorilla_encode's vectorized path -> same bytes
+    rng = np.random.default_rng(3)
+    groups = []
+    for n in (192, 366, 2048):
+        ts = np.cumsum(rng.integers(1, 5000, n))
+        groups.append((ts, rng.normal(0, 1, n)))
+    for blob, (ts, vals) in zip(_multi_groups(groups), groups):
+        assert blob == gorilla_encode(np.asarray(ts, np.int64),
+                                      np.asarray(vals, np.float64))
+
+
+def test_multi_edge_groups():
+    # single-point groups, constant-value groups (no '11' window token),
+    # and a group whose token bits land exactly on a byte boundary
+    groups = [
+        (np.array([5]), np.array([1.5])),
+        (np.arange(10) * 3600, np.full(10, 2.25)),
+        (np.array([0, 1]), np.array([1.0, 1.0])),
+        (np.arange(256) * 86400, np.full(256, -0.0)),
+    ]
+    for blob, (ts, vals) in zip(_multi_groups(groups), groups):
+        dts, dvals = gorilla_decode(blob)
+        assert np.array_equal(dts, np.asarray(ts, np.int64))
+        assert np.array_equal(dvals, np.asarray(vals, np.float64))

@@ -192,6 +192,12 @@ def main():
         # not, is logged; nothing is discarded silently.
         budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC",
                                       "4200"))
+        # absolute health cap: "within 15% of best seen" is vacuous on the
+        # first probes, so a run started inside a degraded-but-stable host
+        # phase (cal 1.4 s observed) would happily pair there. The healthy
+        # single-thread cal on this host is well-characterized at
+        # 0.20-0.35 s (BENCH/BASELINE.md); refuse pairs above the cap.
+        cal_cap = float(os.environ.get("SPARK_GRAFT_SCALING_CAL_CAP", "0.45"))
         best_cal = float("inf")
 
         def _steal_window(sec: float = 1.0) -> float:
@@ -211,7 +217,8 @@ def main():
             best_cal = min(best_cal, *cals.values())
             spread = max(cals.values()) / min(cals.values()) - 1
             slow = max(cals.values()) / best_cal - 1
-            quiet = steal < 1.0 and spread < 0.05 and slow < 0.15
+            quiet = (steal < 1.0 and spread < 0.05 and slow < 0.15
+                     and max(cals.values()) < cal_cap)
             probe_log.append({"t": round(time.time() - t_start, 1),
                               "cals": cals, "steal_idle_pct": round(steal, 2),
                               "accepted": quiet})
