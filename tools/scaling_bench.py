@@ -228,6 +228,42 @@ def main():
             if not quiet:
                 time.sleep(15)
                 continue
+            if os.environ.get("SPARK_GRAFT_SCALING_SANDWICH", "") == "1":
+                # sandwich rep order lo, hi, lo: a pair spans ~3-5 min and
+                # the host phase can flip INSIDE it, in either direction —
+                # run-A pairs caught a degraded wide level (raw 0.48-0.69),
+                # run-B pairs 3-4 a degraded NARROW level (raw 0.93-1.13,
+                # over-unity). The two narrow reps bracket the wide one;
+                # if they disagree >10% the phase moved mid-pair and the
+                # pair is logged but NOT counted. Accepted pairs use the
+                # mean of the two bracketing narrow reps.
+                lo, hi = levels[0], levels[-1]
+                npair += 1
+                s1 = children[lo].run_once()
+                sh = children[hi].run_once()
+                s2 = children[lo].run_once()
+                drift = abs(s1["pps"] - s2["pps"]) / max(s1["pps"], s2["pps"])
+                ok = drift < 0.10
+                print(f"pair {npair} local[{lo}]: {s1['sec']:.1f}s/"
+                      f"{s2['sec']:.1f}s ({drift * 100:.1f}% drift) "
+                      f"local[{hi}]: {sh['sec']:.1f}s "
+                      f"{sh['pps'] / 1000:.0f}k pts/s "
+                      f"steal {sh['steal_pct']}% -> "
+                      f"{'OK' if ok else 'REJECT (phase moved mid-pair)'}",
+                      flush=True)
+                probe_log.append({
+                    "t": round(time.time() - t_start, 1), "sandwich": npair,
+                    "lo_reps": [s1, s2], "hi_rep": sh,
+                    "drift_pct": round(100 * drift, 1), "accepted": ok})
+                if ok:
+                    mean_lo = dict(s1)
+                    mean_lo["pps"] = (s1["pps"] + s2["pps"]) / 2
+                    mean_lo["sec"] = (s1["sec"] + s2["sec"]) / 2
+                    mean_lo["steal_pct"] = max(s1["steal_pct"],
+                                               s2["steal_pct"])
+                    samples[lo].append(mean_lo)
+                    samples[hi].append(sh)
+                continue
             order = levels if npair % 2 == 0 else tuple(reversed(levels))
             npair += 1
             for c in order:
@@ -250,6 +286,8 @@ def main():
                "wall_sec": round(time.time() - t_start, 1)}
     if probe_log:
         results["protocol"] = "auto_quiet_window"
+        if os.environ.get("SPARK_GRAFT_SCALING_SANDWICH", "") == "1":
+            results["protocol"] += "_sandwich"
         results["probes"] = probe_log
     if not all(samples[c] for c in levels):
         results["note"] = "no qualifying quiet-window pairs within budget"
