@@ -243,7 +243,12 @@ def main():
                 sh = children[hi].run_once()
                 s2 = children[lo].run_once()
                 drift = abs(s1["pps"] - s2["pps"]) / max(s1["pps"], s2["pps"])
-                ok = drift < 0.10
+                # the narrow brackets validate the narrow side; the wide
+                # rep's own /proc/stat steal validates the wide side (run E
+                # pair 2: clean brackets, wide rep at 6.7% steal -> 0.495)
+                steal_cap = float(os.environ.get(
+                    "SPARK_GRAFT_SCALING_STEAL_CAP", "2.0"))
+                ok = drift < 0.10 and sh["steal_pct"] < steal_cap
                 print(f"pair {npair} local[{lo}]: {s1['sec']:.1f}s/"
                       f"{s2['sec']:.1f}s ({drift * 100:.1f}% drift) "
                       f"local[{hi}]: {sh['sec']:.1f}s "
