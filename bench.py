@@ -27,11 +27,45 @@ def _pages_path(repo_root: str, n_urls: int, n_slots: int) -> str:
     return os.path.join(repo_root, ".bench_cache", f"pages_{n_urls}x{n_slots}.parquet")
 
 
+# ---- host-health probes (same protocol as tools/scaling_bench.py:40-90) ----
+# The sandbox host degrades in ~10-minute phases, sometimes WITHOUT visible
+# steal; recording a single-thread speed index + /proc/stat steal per rep
+# makes cross-round BENCH diffs attributable (host phase vs code change).
+
+_CAL_ARR = None
+
+
+def _calibrate() -> float:
+    """Single-thread host-speed probe (~0.5 s when healthy)."""
+    import numpy as np
+    global _CAL_ARR
+    if _CAL_ARR is None:
+        _CAL_ARR = np.arange(2_000_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(30):
+        s += float(np.cumsum(_CAL_ARR)[-1])
+    return round(time.perf_counter() - t0, 3)
+
+
+def _cpu_snap() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def _steal_pct(c0: list[int], c1: list[int]) -> float:
+    d = [b - a for a, b in zip(c0, c1)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot and len(d) > 7 else 0.0
+
+
 def ensure_pages(spark, repo_root: str, n_urls: int, n_slots: int) -> str:
     """Materialize the synthetic pages table once (generation excluded from
     the timed path; the service benchmark starts at the parquet scan)."""
     path = _pages_path(repo_root, n_urls, n_slots)
+    global _CACHE_WAS_COLD
     if not os.path.exists(path):
+        _CACHE_WAS_COLD = True
         from sen2rts_spark.sources.pages import synth_pages
         # ≥64 output files: parquet splits at row-group granularity, so the
         # file/row-group count caps scan parallelism for every consumer
@@ -55,6 +89,8 @@ def bench_rollup_pipeline(spark, pages_path: str) -> tuple[float, int]:
     n_points = blobs.agg(F.sum("count")).first()[0] or 0
     return time.time() - t0, int(n_points)
 
+
+_CACHE_WAS_COLD = False
 
 BENCH_QUERIES = [
     "weighted_mean",
@@ -120,14 +156,22 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
 
-    # headline service path
+    # headline service path — cal + steal per rep so a cross-round regression
+    # is attributable to host phase vs code (VERDICT r4 "what's wrong" #1)
     roll_secs, n_points = [], 0
+    roll_health = []
     for _ in range(reps):
+        cal = _calibrate()
+        c0 = _cpu_snap()
         sec, n_points = bench_rollup_pipeline(spark, pages_path)
         roll_secs.append(sec)
+        roll_health.append({"sec": round(sec, 3), "cal_sec": cal,
+                            "steal_pct": _steal_pct(c0, _cpu_snap())})
     roll_sec = min(roll_secs)
     per_query["rollup_gorilla_pipeline"] = round(roll_sec, 3)
 
+    suite_cal0 = _calibrate()
+    suite_c0 = _cpu_snap()
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = float("inf")
@@ -137,6 +181,8 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         per_query[name] = round(best, 3)
+    suite_cal1 = _calibrate()
+    suite_steal = _steal_pct(suite_c0, _cpu_snap())
 
     total = round(sum(per_query.values()), 3)
     out = {
@@ -150,6 +196,15 @@ def main() -> None:
         "cpus": cpus,
         "reps": reps,
         "stat": "min_after_warm",
+        # host health: cal_sec ~0.5 s and steal <1% = quiet window; a slow
+        # cal or high steal marks the rep (and the round's numbers) as
+        # host-phase-degraded, not a code regression
+        "host": {
+            "rollup_reps": roll_health,
+            "suite_cal_sec": [suite_cal0, suite_cal1],
+            "suite_steal_pct": suite_steal,
+        },
+        "bench_cache_cold": _CACHE_WAS_COLD,
     }
     print(json.dumps(out))
     spark.stop()

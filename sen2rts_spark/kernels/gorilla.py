@@ -357,8 +357,9 @@ def gorilla_encode_multi(ts: np.ndarray, values: np.ndarray,
          du >> np.uint64(32)],
         default=np.uint64(0))
     tw[:, 1] = np.array([0, 7, 9, 12, 32], dtype=np.uint8)[cls]
-    # zero-width slots are kept in the global pack (no `used` filter here),
-    # so their values MUST be 0 — mask the low-half payload to class 4
+    # zero-width slots are dropped before the pack (`used = allw > 0` below),
+    # so this masking is belt-and-suspenders: it keeps the value array
+    # well-defined for every slot even if the filter ever changes
     tv[:, 2] = np.where(cls == 4, du & np.uint64(0xFFFFFFFF), np.uint64(0))
     tw[:, 2] = np.where(cls == 4, 32, 0).astype(np.uint8)
 
@@ -438,6 +439,9 @@ def gorilla_encode_multi(ts: np.ndarray, values: np.ndarray,
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     hdr = np.empty((G, 24), dtype=np.uint8)
     hdr[:, :4] = np.frombuffer(_MAGIC, dtype=np.uint8)
+    if int(ns.max(initial=0)) >= 2 ** 32:
+        raise ValueError("group size >= 2**32 does not fit the u32 header "
+                         "count (matches gorilla_encode's struct.pack('>I'))")
     hdr[:, 4:8] = ns.astype(">u4").view(np.uint8).reshape(G, 4)
     hdr[:, 8:16] = ts[starts].astype(">i8").view(np.uint8).reshape(G, 8)
     hdr[:, 16:24] = bits[starts].astype(">u8").view(np.uint8).reshape(G, 8)

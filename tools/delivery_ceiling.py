@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import sys
 import time
 
@@ -73,7 +74,10 @@ def _run(width: int, worker, dur: float = 8.0) -> float:
 
 
 def main():
-    lo, hi = (int(a) for a in (sys.argv[1:3] or ("4", "16")))
+    args = sys.argv[1:3]
+    if len(args) == 1:
+        raise SystemExit("usage: delivery_ceiling.py [LO HI] (both or neither)")
+    lo, hi = (int(a) for a in (args or ("4", "16")))
     res = {"widths": [lo, hi]}
     for name, worker in (("spin", _spin_worker), ("hash_membw", _hash_worker),
                          ("stream_membw", _stream_worker)):
@@ -90,7 +94,9 @@ def main():
         }
         print(f"{name}: {lo}-wide {r_lo:.3g}/s, {hi}-wide {r_hi:.3g}/s, "
               f"eff ceiling {res[name]['ceiling_eff']:.3f}", flush=True)
-    with open("BENCH/CEILING_%d_to_%d.json" % (lo, hi), "w") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH",
+                           "CEILING_%d_to_%d.json" % (lo, hi)), "w") as f:
         json.dump(res, f, indent=2)
 
 
