@@ -90,6 +90,53 @@ def bench_rollup_pipeline(spark, pages_path: str) -> tuple[float, int]:
     return time.time() - t0, int(n_points)
 
 
+def _blobs_path(repo_root: str, n_urls: int, n_slots: int) -> str:
+    return os.path.join(repo_root, ".bench_cache",
+                        f"blobs_{n_urls}x{n_slots}.parquet")
+
+
+def ensure_blobs(spark, repo_root: str, pages_path: str,
+                 n_urls: int, n_slots: int) -> str:
+    """Materialize the daily-tier blob table once (the stored representation
+    a retention read starts from)."""
+    path = _blobs_path(repo_root, n_urls, n_slots)
+    if not os.path.exists(path):
+        from sen2rts_spark.operators.extract import extract_obs
+        from sen2rts_spark.operators.gorilla_sink import encode_blobs
+        from sen2rts_spark.operators.rollup import rollup_raw
+        pages = spark.read.parquet(pages_path)
+        obs = extract_obs(pages).select(
+            "id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
+        encode_blobs(rollup_raw(obs, "daily"), "daily") \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_tier_read(spark, blobs_path: str) -> dict[str, float]:
+    """Stored blobs → weekly re-aggregate, two plans: materialize-then-agg
+    (decode_blobs row explosion) vs aggregate pushdown (decode_blobs_agg).
+    Same input, same result cardinality — the pushdown's win is not paying
+    the decoded-row explosion + shuffle (VERDICT r4 'what's wrong' #2)."""
+    from sen2rts_spark.operators.gorilla_sink import (decode_blobs,
+                                                      decode_blobs_agg)
+    blobs = spark.read.parquet(blobs_path)
+    res = {}
+    t0 = time.time()
+    wk = F.timestamp_seconds(
+        (F.unix_timestamp("bucket_start") / 604800).cast("long") * 604800)
+    decode_blobs(blobs).groupBy("id", wk.alias("wk")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+        F.min("value").alias("mn"), F.max("value").alias("mx")).count()
+    res["tier_read_explode"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    decode_blobs_agg(blobs, bucket_seconds=604800) \
+        .groupBy("id", "bucket_start").agg(
+            F.sum("n_points").alias("n"), F.sum("vsum").alias("s"),
+            F.min("vmin").alias("mn"), F.max("vmax").alias("mx")).count()
+    res["tier_read_agg_pushdown"] = round(time.time() - t0, 3)
+    return res
+
+
 _CACHE_WAS_COLD = False
 
 BENCH_QUERIES = [
@@ -184,6 +231,15 @@ def main() -> None:
     suite_cal1 = _calibrate()
     suite_steal = _steal_pct(suite_c0, _cpu_snap())
 
+    # tier-read comparison on the stored blob table (min of reps each)
+    blobs_path = ensure_blobs(spark, repo_root, pages_path, n_urls, n_slots)
+    bench_tier_read(spark, blobs_path)  # warm
+    # kept OUT of per_query/total so cross-round totals stay comparable
+    tier_best: dict[str, float] = {}
+    for _ in range(reps):
+        for k, v in bench_tier_read(spark, blobs_path).items():
+            tier_best[k] = min(tier_best.get(k, float("inf")), v)
+
     total = round(sum(per_query.values()), 3)
     out = {
         "metric": "total_sec",
@@ -205,6 +261,8 @@ def main() -> None:
             "suite_steal_pct": suite_steal,
         },
         "bench_cache_cold": _CACHE_WAS_COLD,
+        # stored-blob read paths (not in total: added round 5)
+        "tier_read": {k: round(v, 3) for k, v in tier_best.items()},
     }
     print(json.dumps(out))
     spark.stop()

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 
 from ..kernels.gorilla import gorilla_decode, gorilla_encode
 
-__all__ = ["encode_blobs", "decode_blobs", "BLOB_SCHEMA"]
+__all__ = ["encode_blobs", "decode_blobs", "decode_blobs_agg", "BLOB_SCHEMA"]
 
 BLOB_SCHEMA = ("id string, tier string, chunk_start timestamp, blob binary, "
                "count int, min_ts timestamp, max_ts timestamp")
@@ -149,3 +149,83 @@ def decode_blobs(blobs: DataFrame) -> DataFrame:
 
     return blobs.mapInArrow(
         _fn, schema="id string, tier string, bucket_start timestamp, value double")
+
+
+AGG_SCHEMA = ("id string, tier string, bucket_start timestamp, "
+              "n_points bigint, vmin double, vmax double, vsum double")
+
+
+def decode_blobs_agg(blobs: DataFrame,
+                     bucket_seconds: int | None = None) -> DataFrame:
+    """Aggregate-pushdown decode: per-blob (or per coarser in-blob bucket)
+    count/min/max/sum computed INSIDE the mapInArrow pass — no row explosion.
+
+    ``decode_blobs`` materializes every stored point (the right plan when the
+    consumer needs the series); a tier re-aggregation only needs partial
+    aggregates per blob, and at 100x scale the explosion+shuffle of decoded
+    rows dominates the read (VERDICT r4). This variant emits one row per
+    blob (``bucket_seconds=None``, bucket_start = chunk_start) or one row
+    per coarser bucket within each blob; a blob whose chunk straddles a
+    coarse-bucket boundary emits one partial per touched bucket, so callers
+    finish with ``groupBy(id, bucket_start).agg(sum/min/max)`` — a shuffle
+    of one row per (blob, bucket), thousands of times smaller than the
+    decoded points.
+
+    Per-blob aggregation is numpy segment reductions over the vectorized
+    decode (timestamps are stored sorted); the only Python loop is one codec
+    call per blob.
+    """
+    import pyarrow as pa
+
+    out_schema = pa.schema([
+        ("id", pa.string()), ("tier", pa.string()),
+        ("bucket_start", pa.timestamp("us")), ("n_points", pa.int64()),
+        ("vmin", pa.float64()), ("vmax", pa.float64()),
+        ("vsum", pa.float64()),
+    ])
+
+    import pyarrow.compute as pc
+
+    def _fn(batches):
+        for batch in batches:
+            blob_col = batch.column(batch.schema.get_field_index("blob"))
+            chunk_us = np.asarray(
+                batch.column(batch.schema.get_field_index("chunk_start"))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False))
+            segs_per_blob, bstarts = [], []
+            n_out, vmin_out, vmax_out, vsum_out = [], [], [], []
+            for i, rblob in enumerate(blob_col):
+                ts, vals = gorilla_decode(rblob.as_py())
+                if len(ts) == 0:
+                    segs_per_blob.append(0)
+                    continue
+                if bucket_seconds is None:
+                    segs = np.array([0])
+                    bucket_us = chunk_us[i:i + 1]
+                else:
+                    bucket = ts // bucket_seconds * bucket_seconds
+                    segs = np.flatnonzero(
+                        np.concatenate(([True], bucket[1:] != bucket[:-1])))
+                    bucket_us = bucket[segs] * 1_000_000
+                segs_per_blob.append(len(segs))
+                bstarts.append(bucket_us)
+                n_out.append(np.diff(np.concatenate((segs, [len(ts)]))))
+                vmin_out.append(np.minimum.reduceat(vals, segs))
+                vmax_out.append(np.maximum.reduceat(vals, segs))
+                vsum_out.append(np.add.reduceat(vals, segs))
+            if not bstarts:
+                continue
+            # id/tier replication is Arrow-native (pc.take on a repeat index)
+            idx = pa.array(np.repeat(np.arange(batch.num_rows),
+                                     segs_per_blob))
+            yield pa.record_batch([
+                pc.take(batch.column(batch.schema.get_field_index("id")), idx),
+                pc.take(batch.column(batch.schema.get_field_index("tier")), idx),
+                pa.array(np.concatenate(bstarts)).cast(pa.timestamp("us")),
+                pa.array(np.concatenate(n_out), pa.int64()),
+                pa.array(np.concatenate(vmin_out)),
+                pa.array(np.concatenate(vmax_out)),
+                pa.array(np.concatenate(vsum_out)),
+            ], schema=out_schema)
+
+    return blobs.mapInArrow(_fn, schema=AGG_SCHEMA)

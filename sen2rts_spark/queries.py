@@ -857,35 +857,51 @@ from . import queries_docs  # noqa: E402,F401
 #                        → aggregate_pheno_windows / detect_forages_flags /
 #                          the _CYCLES_SQL plan (A3/A8-9/A14/W1/W9/W10)
 _PRIORITY = [
-    # LLM-data-pipeline set (queries_docs)
-    "dedup_exact", "minhash_signature", "minhash_lsh_candidates",
+    # LLM-data-pipeline set (queries_docs). Rotated OUT this round (green in
+    # r4, still pytest-covered, families exercised by remaining rows):
+    # minhash_signature (its subtree is recomputed inside
+    # minhash_lsh_candidates), embedding_norms (inside every cosine query),
+    # media_metadata (media_feature_extract reads the same columns),
+    # doc_fingerprint, token_count_bpe_ish. Rotated IN: the Gopher-style
+    # repetition_ratio / term_doc_freq (oracled, last gated r3) and the new
+    # multi-probe ANN recall path.
+    "dedup_exact", "minhash_lsh_candidates",
     "minhash_lsh_capped", "ngram_jaccard_pairs", "simhash_64",
-    "token_count_bpe_ish", "quality_score", "lang_id_heuristic",
-    "doc_fingerprint", "ann_cosine_topk", "ann_lsh_bucketed",
-    "embedding_norms", "label_centroid_distance", "media_metadata",
+    "quality_score", "lang_id_heuristic",
+    "ann_cosine_topk", "ann_lsh_bucketed", "ann_multiprobe",
+    "label_centroid_distance",
     "media_feature_extract", "dedup_embedding_near",
-    # rollup / retention / compression (queries_ts)
-    "rollup_daily", "rollup_tier_chain", "rollup_weekly_retention",
-    "gorilla_roundtrip_daily", "fill_linear_daily",
-    # per-series kernels — hash-level structural oracles (round 4): the REAL
-    # kernels on characterized input classes vs pure-SQL recomputation. The
-    # rows-only real-data forms (smooth_savgol_series, fill_spline_series,
-    # cut_cycles_series, fit_curves_long/_fallback, extract_pheno_gu/
-    # _klosterman, smooth_whittaker_series) moved to the registry tail —
-    # every kernel family in the window now carries a value-verified row.
+    "repetition_ratio", "term_doc_freq",
+    # rollup / retention / compression (queries_ts). rollup_daily rotated
+    # out — its A1 weighted-mean rule is value-verified by rollup_tier_chain,
+    # rollup_incremental_late AND rollup_salted_hot_id this round. New:
+    # aggregate-pushdown tier read over blobs, incremental MERGE under late
+    # data, and the salted hot-key plan — all full-value oracles.
+    "rollup_tier_chain", "rollup_weekly_retention",
+    "gorilla_roundtrip_daily", "gorilla_tier_reagg", "fill_linear_daily",
+    "rollup_incremental_late", "rollup_salted_hot_id",
+    # per-series kernels — hash-level structural oracles: the REAL kernels
+    # on characterized input classes vs pure-SQL recomputation.
+    # savgol_poly_structural (identity fixed point) rotated out for
+    # savgol_quartic_residual, a NON-identity closed form that a pass-through
+    # kernel fails (VERDICT r4 'what's wrong' #3). The rows-only real-data
+    # forms smooth_savgol_series / fill_spline_series / fit_curves_long
+    # rotate INTO the window this round (ADVICE r3 #4 / VERDICT r4 task 3).
     "cut_cycles_structural", "fill_spline_structural",
-    "savgol_poly_structural", "whittaker_linear_structural",
+    "savgol_quartic_residual", "whittaker_linear_structural",
     "fit_curves_invariant", "extract_pheno_structural",
+    "smooth_savgol_series", "fill_spline_series", "fit_curves_long",
     "aggregate_pheno_windows", "assign_season_topk", "detect_forages_flags",
     # composites folding the §2 micro-families into the window
     "calendar_props_composite", "series_integrity_composite",
     "relational_stage_composite", "pivot_wide_accessor",
-    # structurally significant §2 operators (+ two micro-queries rotated
-    # back into the window per round-3 ADVICE: the readable W2/W3 form and
-    # the broadcast-join plan shape)
+    # structurally significant §2 operators. Rotated out (families still
+    # value-verified in-window): rank_average_ties (weight ranking inside
+    # assign_season_topk), local_extrema (W2/W3 via cut_cycles_structural),
+    # broadcast_dim_join (broadcast plan inside global_rescale /
+    # clamp_extrapolation).
     "filter_project", "best_agg", "global_rescale", "per_group_norm",
-    "clamp_extrapolation", "rank_average_ties", "topk_per_group",
+    "clamp_extrapolation", "topk_per_group",
     "full_outer_restore", "grid_scaffold_join", "range_join_interval",
     "asof_nearest", "scl_decode", "piecewise_linear_combine",
-    "local_extrema", "broadcast_dim_join",
 ]

@@ -537,6 +537,61 @@ def q_ann_lsh_bucketed(spark, sf_dir):
         .filter(sim >= ANN_SIM_THR)
 
 
+@register("ann_multiprobe", f"""
+WITH bk AS (
+  SELECT vec_id, embedding, {_ANN_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+      FROM bk WHERE vec_id < 3),
+probes AS (
+  SELECT qid, qe, CASE WHEN j = -1 THEN qb ELSE xor(qb, 1 << j) END AS pb
+  FROM q, (SELECT UNNEST(generate_series(-1, {ANN_LSH_BITS - 1})) AS j)),
+sims AS (
+  SELECT p.qid, e.vec_id,
+         ROUND(list_dot_product(p.qe, e.embedding)
+               / (sqrt(list_dot_product(p.qe, p.qe))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS sim
+  FROM probes p JOIN bk e ON e.bucket = p.pb AND e.vec_id <> p.qid)
+SELECT qid, vec_id, sim FROM (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM sims) WHERE rk <= 5
+""")
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k — the production recall path (VERDICT r4 task
+    5): each query probes its own hyperplane bucket PLUS every bucket at
+    Hamming distance 1 (ANN_LSH_BITS+1 = 9 probes), recovering neighbors that
+    fell just across one hyperplane — the standard multi-probe trick (Lv et
+    al., VLDB'07) that buys the recall of many hash tables for one table's
+    storage. Probe buckets are distinct per query and each candidate lives
+    in exactly one bucket, so no dedup stage is needed. The probe list is a
+    tiny broadcast; the scan side shuffles on its bucket only — same
+    scale-safe plan shape as ann_lsh_bucketed, ~(b+1)/2^b of the table
+    scanned per query instead of 1/2^b. Recall vs the exact baseline
+    (ann_cosine_topk, same queries) is recorded in BENCH/ANN_RECALL.json."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.when(F.col("embedding")[2 * i] - F.col("embedding")[2 * i + 1] >= 0,
+                F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(ANN_LSH_BITS)), start=F.lit(0))
+    withb = e.withColumn("bucket", bucket)
+    q = withb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"))
+    probe_cols = [F.col("qb")] + [F.col("qb").bitwiseXOR(F.lit(1 << j))
+                                  for j in range(ANN_LSH_BITS)]
+    probes = q.select("qid", "qe",
+                      F.explode(F.array(*probe_cols)).alias("pb"))
+    j = F.broadcast(probes).join(
+        withb, (F.col("bucket") == F.col("pb"))
+        & (F.col("vec_id") != F.col("qid")))
+    sim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    sims = j.select("qid", "vec_id", sim.alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return sims.select("qid", "vec_id", "sim",
+                       F.row_number().over(w).alias("rk")) \
+        .filter(F.col("rk") <= 5).select("qid", "vec_id", "sim")
+
+
 @register("embedding_norms", """
 SELECT vec_id, label,
        ROUND(sqrt(list_dot_product(embedding, embedding)), 4) AS l2norm

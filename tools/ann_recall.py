@@ -1,0 +1,134 @@
+"""Measure ANN recall vs the exact cosine baseline (VERDICT r4 task 5).
+
+For every vector as query: exact cosine top-k over the whole table vs
+(a) single-bucket LSH (the ann_lsh_bucketed plan: candidates share the
+query's 8-bit hyperplane bucket) and (b) multi-probe LSH (the ann_multiprobe
+plan: the bucket plus all 8 Hamming-distance-1 buckets).
+
+Runs the candidate generation + ranking in DuckDB with EXACTLY the bucket
+definition the gated Spark queries use (the correctness gate proves the
+Spark plan reproduces this SQL value-for-value, so the recall measured here
+IS the recall of the Spark path). Writes BENCH/ANN_RECALL.json.
+
+    python tools/ann_recall.py [sf_dir] [k]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from sen2rts_spark.queries_docs import ANN_LSH_BITS, _ANN_BUCKET_SQL  # noqa: E402
+
+
+def recall(con, sf_dir: str, k: int) -> dict:
+    probes_hd1 = f"SELECT UNNEST(generate_series(-1, {ANN_LSH_BITS - 1})) AS j"
+    base = f"""
+WITH bk AS (
+  SELECT vec_id, embedding, {_ANN_BUCKET_SQL} AS bucket
+  FROM read_parquet('{sf_dir}/embeddings.parquet')),
+exact AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           list_dot_product(q.embedding, e.embedding)
+           / (sqrt(list_dot_product(q.embedding, q.embedding))
+              * sqrt(list_dot_product(e.embedding, e.embedding))) DESC,
+           e.vec_id) AS rk
+  FROM bk q JOIN bk e ON e.vec_id <> q.vec_id),
+truth AS (SELECT qid, vec_id FROM exact WHERE rk <= {k}),
+single AS (
+  SELECT q.vec_id AS qid, e.vec_id
+  FROM bk q JOIN bk e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+multi AS (
+  SELECT q.vec_id AS qid, e.vec_id
+  FROM bk q, ({probes_hd1}) j
+  JOIN bk e ON e.bucket = CASE WHEN j.j = -1 THEN q.bucket
+                               ELSE xor(q.bucket, 1 << j.j) END
+           AND e.vec_id <> q.vec_id)
+"""
+    out = {}
+    for name, cand in (("single_bucket", "single"), ("multiprobe_hd1", "multi")):
+        row = con.execute(base + f"""
+SELECT AVG(hits / {k}.0) AS recall,
+       AVG(n_cand) AS mean_candidates
+FROM (
+  SELECT t.qid,
+         COUNT(c.vec_id) AS hits,
+         ANY_VALUE(nc.n) AS n_cand
+  FROM truth t
+  LEFT JOIN {cand} c ON c.qid = t.qid AND c.vec_id = t.vec_id
+  JOIN (SELECT qid, COUNT(*) AS n FROM {cand} GROUP BY qid) nc
+    ON nc.qid = t.qid
+  GROUP BY t.qid)
+""").fetchone()
+        out[name] = {"recall_at_k": round(row[0], 4),
+                     "mean_candidates": round(row[1], 1)}
+    n_total = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    out["n_vectors"] = n_total
+    out["k"] = k
+    out["bits"] = ANN_LSH_BITS
+    return out
+
+
+def planted_recall(con, sf_dir: str, sim_target: float = 0.95) -> dict:
+    """Recall on planted near-duplicates — the dedup use-case.
+
+    The fixture embeddings are random (near-orthogonal), so top-k cosine
+    among them is noise and ANY hashing scheme has low top-k recall there;
+    what dedup_embedding_near needs is recall on genuinely-similar pairs.
+    Plant one perturbed copy per vector at cosine ~ sim_target and measure
+    how often each probe strategy's candidate set contains the source."""
+    import numpy as np
+    base = con.execute(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    rng = np.random.default_rng(42)
+    E = np.array([r[1] for r in base], dtype=np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    # unit noise orthogonalized against e keeps the cosine exact in expectation
+    noise = rng.normal(size=E.shape)
+    noise -= (noise * E).sum(axis=1, keepdims=True) * E
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    alpha = float(np.sqrt(1 - sim_target ** 2))
+    dup = sim_target * E + alpha * noise
+
+    def bucket(M):
+        bits = (M[:, 0:2 * ANN_LSH_BITS:2] - M[:, 1:2 * ANN_LSH_BITS:2]) >= 0
+        return (bits.astype(np.int64) * (1 << np.arange(ANN_LSH_BITS))).sum(1)
+
+    bsrc, bdup = bucket(E), bucket(dup)
+    same = bsrc == bdup
+    hd = np.array([bin(int(x)).count("1") for x in bsrc ^ bdup])
+    return {
+        "sim_planted": sim_target,
+        "single_bucket_recall": round(float(same.mean()), 4),
+        "multiprobe_hd1_recall": round(float((hd <= 1).mean()), 4),
+        "multiprobe_hd2_recall": round(float((hd <= 2).mean()), 4),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    con = duckdb.connect()
+    res = {"sf_dir": sf_dir, **recall(con, sf_dir, k),
+           "planted_near_dup": {
+               f"sim_{s}": planted_recall(con, sf_dir, s)
+               for s in (0.9, 0.95, 0.99)}}
+    path = os.path.join(REPO, "BENCH", "ANN_RECALL.json")
+    with open(path, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()
