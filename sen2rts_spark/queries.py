@@ -887,8 +887,10 @@ _PRIORITY = [
     # kernel fails (VERDICT r4 'what's wrong' #3). The rows-only real-data
     # forms smooth_savgol_series / fill_spline_series / fit_curves_long
     # rotate INTO the window this round (ADVICE r3 #4 / VERDICT r4 task 3).
+    # whittaker_linear_structural (identity fixed point) rotated out for
+    # whittaker_sine_recon, the inverse-constructed NON-identity oracle.
     "cut_cycles_structural", "fill_spline_structural",
-    "savgol_quartic_residual", "whittaker_linear_structural",
+    "savgol_quartic_residual", "whittaker_sine_recon",
     "fit_curves_invariant", "extract_pheno_structural",
     "smooth_savgol_series", "fill_spline_series", "fit_curves_long",
     "aggregate_pheno_windows", "assign_season_topk", "detect_forages_flags",

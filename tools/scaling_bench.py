@@ -155,12 +155,18 @@ def main():
     levels = tuple(int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
     conc = int(os.environ.get("SPARK_GRAFT_SCALING_CONC", "1"))
-    if os.environ.get("SPARK_GRAFT_SCALING_SANDWICH", "") == "1" \
-            and len(levels) != 2:
+    if os.environ.get("SPARK_GRAFT_SCALING_SANDWICH", "") == "1":
         # sandwich pairs only exercise levels[0]/levels[-1]; a middle level
         # would never collect samples and the run would be discarded
-        raise SystemExit("SANDWICH=1 requires exactly 2 levels, got "
-                         f"{levels}")
+        if len(levels) != 2:
+            raise SystemExit("SANDWICH=1 requires exactly 2 levels, got "
+                             f"{levels}")
+        # the sandwich branch lives inside the auto quiet-window loop;
+        # without MODE=auto the flag silently does nothing (a 40-minute run
+        # in the wrong protocol — it happened)
+        if os.environ.get("SPARK_GRAFT_SCALING_MODE", "") != "auto":
+            raise SystemExit("SANDWICH=1 requires "
+                             "SPARK_GRAFT_SCALING_MODE=auto")
     # materialize input once — in a SUBPROCESS so its JVM fully exits
     # (py4j keeps the gateway JVM alive until the owning python exits, and an
     # idle extra JVM perturbs the wide-level reps)
