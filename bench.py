@@ -207,13 +207,31 @@ def main() -> None:
     # is attributable to host phase vs code (VERDICT r4 "what's wrong" #1)
     roll_secs, n_points = [], 0
     roll_health = []
-    for _ in range(reps):
+
+    def _roll_rep():
+        nonlocal n_points
         cal = _calibrate()
         c0 = _cpu_snap()
         sec, n_points = bench_rollup_pipeline(spark, pages_path)
         roll_secs.append(sec)
         roll_health.append({"sec": round(sec, 3), "cal_sec": cal,
                             "steal_pct": _steal_pct(c0, _cpu_snap())})
+
+    for _ in range(reps):
+        _roll_rep()
+    # adaptive extras: if even the BEST rep ran in a degraded host phase
+    # (visible steal, or single-thread cal well above the ~0.5 s healthy
+    # rate), spend up to 3 more reps hunting a quiet window so the recorded
+    # headline is attributable to code, not phase. Bounded, so a fully
+    # degraded session costs ~30 s extra and is still flagged by `host`.
+    def _best_health():
+        return roll_health[roll_secs.index(min(roll_secs))]
+
+    extras = 0
+    while extras < 3 and (_best_health()["steal_pct"] > 1.5
+                          or _best_health()["cal_sec"] > 0.65):
+        _roll_rep()
+        extras += 1
     roll_sec = min(roll_secs)
     per_query["rollup_gorilla_pipeline"] = round(roll_sec, 3)
 
@@ -257,6 +275,7 @@ def main() -> None:
         # host-phase-degraded, not a code regression
         "host": {
             "rollup_reps": roll_health,
+            "rollup_best_rep": _best_health(),
             "suite_cal_sec": [suite_cal0, suite_cal1],
             "suite_steal_pct": suite_steal,
         },

@@ -15,7 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["rollup_raw", "rollup_tier", "TIER_SECONDS", "ROLLUP_SCHEMA"]
+__all__ = ["rollup_raw", "rollup_tier", "rollup_sketch",
+           "rollup_sketch_tier", "TIER_SECONDS", "ROLLUP_SCHEMA"]
 
 TIER_SECONDS = {"hourly": 3600, "daily": 86400, "weekly": 7 * 86400}
 
@@ -76,6 +77,44 @@ def rollup_tier(prev: DataFrame, tier: str) -> DataFrame:
                 "wsum", "vwsum", "vmin", "vmax", "last_ts", "last_value")
     )
     return _finish(out)
+
+
+def rollup_sketch(obs: DataFrame, tier: str = "daily",
+                  ts_col: str = "ts", id_col: str = "id",
+                  key_col: str = "key", lg_k: int = 12) -> DataFrame:
+    """Distinct-key sketch tier: per (id, bucket) Datasketches-HLL sketch
+    of ``key_col``, alongside the row count.
+
+    This is the cardinality analogue of the numeric partials: the binary
+    sketch column folds upward through :func:`rollup_sketch_tier` with
+    ``hll_union_agg`` — so "distinct users per id per week" is answered
+    from the daily tier (or any coarser one) without re-reading raw. At
+    100 TB that replaces a full-raw COUNT(DISTINCT) shuffle with a merge
+    of ~2^lg_k-byte sketches per bucket. lg_k=12 → ±1.6% standard error;
+    below ~2^lg_k distinct keys the sketch is in exact (sparse) mode.
+    """
+    secs = TIER_SECONDS[tier]
+    return (
+        obs.select(F.col(id_col).alias("id"), F.col(ts_col).alias("ts"),
+                   F.col(key_col).alias("k"))
+        .groupBy("id", F.window("ts", f"{secs} seconds").alias("win"))
+        .agg(F.hll_sketch_agg("k", F.lit(lg_k)).alias("key_sketch"),
+             F.count(F.lit(1)).alias("count"))
+        .select("id", F.col("win.start").alias("bucket_start"),
+                "key_sketch", "count"))
+
+
+def rollup_sketch_tier(prev: DataFrame, tier: str) -> DataFrame:
+    """Fold a finer sketch tier into a coarser one (lossless HLL union at
+    the configured lg_k; same shuffle shape as :func:`rollup_tier`)."""
+    secs = TIER_SECONDS[tier]
+    return (
+        prev.groupBy("id",
+                     F.window("bucket_start", f"{secs} seconds").alias("win"))
+        .agg(F.hll_union_agg("key_sketch").alias("key_sketch"),
+             F.sum("count").alias("count"))
+        .select("id", F.col("win.start").alias("bucket_start"),
+                "key_sketch", "count"))
 
 
 def rollup_incremental(existing: DataFrame, new_obs: DataFrame,

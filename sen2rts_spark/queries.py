@@ -877,7 +877,10 @@ _PRIORITY = [
     # rollup_incremental_late AND rollup_salted_hot_id this round. New:
     # aggregate-pushdown tier read over blobs, incremental MERGE under late
     # data, and the salted hot-key plan — all full-value oracles.
-    "rollup_tier_chain", "rollup_weekly_retention",
+    # rollup_weekly_retention rotated out (weekly bucketing + A1 rule
+    # value-verified by rollup_tier_chain / rollup_incremental_late) for
+    # rollup_distinct_sketch, the HLL sketch-tier cardinality path.
+    "rollup_tier_chain", "rollup_distinct_sketch",
     "gorilla_roundtrip_daily", "gorilla_tier_reagg", "fill_linear_daily",
     "rollup_incremental_late", "rollup_salted_hot_id",
     # per-series kernels — hash-level structural oracles: the REAL kernels

@@ -83,6 +83,45 @@ def q_rollup_weekly_retention(spark, sf_dir):
         "bucket_start", "count", F.round("value", 6).alias("value"))
 
 
+@register("rollup_distinct_sketch", """
+SELECT event_type,
+       CAST(to_timestamp((epoch(ts)::BIGINT // 604800) * 604800) AS TIMESTAMP) AS bucket_start,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS est_ok
+FROM events
+GROUP BY event_type, (epoch(ts)::BIGINT // 604800)
+""")
+def q_rollup_distinct_sketch(spark, sf_dir):
+    """Sketch-tier distinct counting: daily HLL sketches of user_id per
+    event_type, merged to weekly via ``hll_union_agg`` — the cardinality
+    analogue of the numeric rollup partials (§2.9). At 100 TB this answers
+    "distinct keys per bucket" from the stored daily tier instead of a
+    full-raw COUNT(DISTINCT) shuffle.
+
+    Gate: the weekly estimate must sit within 5% of the exact distinct
+    count (lg_k=12 → ±1.6% standard error; sf0.01 buckets are in the
+    sketch's exact sparse range, so est_ok is deterministic); the oracle
+    recomputes the exact counts and pins all-TRUE.
+    """
+    from .operators.rollup import rollup_sketch, rollup_sketch_tier
+    e = load(spark, sf_dir, "events")
+    src = e.select(F.col("event_type").alias("id"), "ts",
+                   F.col("user_id").alias("uid"))
+    daily = rollup_sketch(src, "daily", key_col="uid", lg_k=12)
+    weekly = rollup_sketch_tier(daily, "weekly")
+    est = weekly.select("id", "bucket_start",
+                        F.hll_sketch_estimate("key_sketch").alias("est"))
+    exact = (src.groupBy("id", F.window("ts", "604800 seconds").alias("win"))
+             .agg(F.countDistinct("uid").alias("n_exact"))
+             .select("id", F.col("win.start").alias("bucket_start"),
+                     "n_exact"))
+    return (est.join(exact, ["id", "bucket_start"])
+            .select(F.col("id").alias("event_type"), "bucket_start",
+                    "n_exact",
+                    (F.abs(F.col("est") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact")).alias("est_ok")))
+
+
 @register("gorilla_roundtrip_daily", """
 SELECT user_id,
        CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,

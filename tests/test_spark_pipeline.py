@@ -124,6 +124,41 @@ def test_rollup_tiers_exact(spark):
     assert weekly.count() > 0
 
 
+def test_rollup_sketch_tier_merge(spark):
+    """HLL sketch tiers: weekly(daily(raw)) estimate == weekly(raw) estimate,
+    and both exact at this cardinality (sparse-mode range)."""
+    from sen2rts_spark.operators.extract import extract_obs
+    from sen2rts_spark.operators.rollup import rollup_sketch, rollup_sketch_tier
+    from sen2rts_spark.sources.pages import synth_pages
+    import pyspark.sql.functions as F
+
+    pages = synth_pages(spark, n_urls=12, n_slots=30, dup_pct=20)
+    obs = extract_obs(pages).select(
+        "id", F.col("date").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 50).cast("long").alias("key"))
+    daily = rollup_sketch(obs, "daily", key_col="key")
+    via_tiers = rollup_sketch_tier(daily, "weekly")
+    direct = rollup_sketch(obs, "weekly", key_col="key")
+
+    def est_map(df):
+        return {(r["id"], r["bucket_start"]): (r["est"], r["count"])
+                for r in df.select(
+                    "id", "bucket_start", "count",
+                    F.hll_sketch_estimate("key_sketch").alias("est")).collect()}
+
+    a, b = est_map(via_tiers), est_map(direct)
+    assert set(a) == set(b) and len(a) > 0
+    assert a == b  # union of daily sketches is lossless at fixed lg_k
+    exact = {(r["id"], r["bucket_start"]): r["n"]
+             for r in obs.groupBy(
+                 "id", F.window("ts", "604800 seconds").alias("win"))
+             .agg(F.countDistinct("key").alias("n"))
+             .select("id", F.col("win.start").alias("bucket_start"), "n")
+             .collect()}
+    for k, (est, _cnt) in a.items():
+        assert est == exact[k]  # sparse range -> exact
+
+
 def test_gorilla_blob_roundtrip_spark(spark):
     from sen2rts_spark.operators.extract import extract_obs
     from sen2rts_spark.operators.gorilla_sink import decode_blobs, encode_blobs
