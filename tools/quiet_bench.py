@@ -1,0 +1,113 @@
+"""Run bench.py inside a host-quiet window, pausing a scaling collector.
+
+The sandbox host oscillates between quiet and degraded phases on ~10-min
+timescales (BENCH/BASELINE.md); a bench run launched blind lands in
+whatever phase is active and the cross-round totals stop being comparable.
+This launcher polls the same instruments bench.py records per rep — a
+single-thread cal probe plus /proc/stat steal — and only starts the bench
+when the host is quiet. If a scaling collector is running it is SIGSTOPped
+for the duration (its idle child JVMs stay resident but schedule nothing)
+and SIGCONTed afterwards; a collector pair already in flight is waited
+out first so the pause never poisons a measurement.
+
+Usage:
+  python tools/quiet_bench.py --out BENCH/BENCH_r5_local_quiet.json \
+      [--collector-log /tmp/scaling_r5.out] [--collector-pids 123,456] \
+      [--deadline-sec 2400] [--cal-max 0.55] [--steal-max 0.5]
+
+Exit 0 with the bench JSON written on success; exit 2 if no quiet window
+appeared before the deadline (nothing run, collector untouched).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import _calibrate, _cpu_snap, _steal_pct  # noqa: E402
+
+
+def pair_in_flight(log_path: str | None) -> bool:
+    if not log_path or not os.path.exists(log_path):
+        return False
+    with open(log_path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    return bool(lines) and lines[-1].endswith("-> PAIR")
+
+
+def probe(steal_window_sec: float = 3.0) -> tuple[float, float]:
+    cal = _calibrate()
+    c0 = _cpu_snap()
+    time.sleep(steal_window_sec)
+    return cal, _steal_pct(c0, _cpu_snap())
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--collector-log", default=None)
+    ap.add_argument("--collector-pids", default="",
+                    help="comma-separated PIDs to SIGSTOP during the bench")
+    ap.add_argument("--deadline-sec", type=float, default=2400)
+    ap.add_argument("--cal-max", type=float, default=0.55)
+    ap.add_argument("--steal-max", type=float, default=0.5)
+    ap.add_argument("--poll-sec", type=float, default=20)
+    args = ap.parse_args()
+
+    pids = [int(p) for p in args.collector_pids.split(",") if p.strip()]
+    t_end = time.time() + args.deadline_sec
+    while time.time() < t_end:
+        if pair_in_flight(args.collector_log):
+            print(f"t={time.strftime('%H:%M:%S')} pair in flight -> wait",
+                  flush=True)
+            time.sleep(args.poll_sec)
+            continue
+        cal, steal = probe()
+        quiet = cal <= args.cal_max and steal <= args.steal_max
+        print(f"t={time.strftime('%H:%M:%S')} cal={cal} steal={steal}% -> "
+              f"{'RUN' if quiet else 'wait'}", flush=True)
+        if not quiet:
+            time.sleep(args.poll_sec)
+            continue
+        # re-check the race: a pair may have started during the probe
+        if pair_in_flight(args.collector_log):
+            continue
+        for p in pids:
+            try:
+                os.kill(p, signal.SIGSTOP)
+            except ProcessLookupError:
+                pass
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, cwd=REPO, timeout=1800)
+        finally:
+            for p in pids:
+                try:
+                    os.kill(p, signal.SIGCONT)
+                except ProcessLookupError:
+                    pass
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if r.returncode != 0 or not line:
+            print("bench failed:", r.returncode, r.stderr[-2000:], flush=True)
+            return 1
+        with open(os.path.join(REPO, args.out) if not os.path.isabs(args.out)
+                  else args.out, "w") as f:
+            f.write(line[-1] + "\n")
+        print("bench JSON ->", args.out, flush=True)
+        print(json.dumps(json.loads(line[-1])["host"], indent=1), flush=True)
+        return 0
+    print("no quiet window before deadline", flush=True)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
