@@ -868,7 +868,10 @@ _PRIORITY = [
     "dedup_exact", "minhash_lsh_candidates",
     "minhash_lsh_capped", "ngram_jaccard_pairs", "simhash_64",
     "quality_score", "lang_id_heuristic",
-    "ann_cosine_topk", "ann_lsh_bucketed", "ann_multiprobe",
+    # ann_lsh_bucketed rotated out (its single-bucket probe is a strict
+    # subset of ann_multiprobe's probe set) for ann_ivf_topk, the
+    # coarse-quantizer scale path.
+    "ann_cosine_topk", "ann_ivf_topk", "ann_multiprobe",
     "label_centroid_distance",
     "media_feature_extract", "dedup_embedding_near",
     "repetition_ratio", "term_doc_freq",

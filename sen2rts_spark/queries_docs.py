@@ -592,6 +592,90 @@ def q_ann_multiprobe(spark, sf_dir):
         .filter(F.col("rk") <= 5).select("qid", "vec_id", "sim")
 
 
+@register("ann_ivf_topk", """
+WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+asim AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         ROUND(list_dot_product(c.ce, e.embedding)
+               / (sqrt(list_dot_product(c.ce, c.ce))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS csim
+  FROM embeddings e, c),
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell) AS rk
+    FROM asim) WHERE rk = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+qprobe AS (
+  SELECT qid, qe, cell FROM (
+    SELECT q.qid, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             ROUND(list_dot_product(q.qe, c.ce)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(c.ce, c.ce))), 4) DESC,
+             c.cell) AS rk
+    FROM q, c) WHERE rk <= 2),
+sims AS (
+  SELECT p.qid, a.vec_id,
+         ROUND(list_dot_product(p.qe, a.embedding)
+               / (sqrt(list_dot_product(p.qe, p.qe))
+                  * sqrt(list_dot_product(a.embedding, a.embedding))), 4) AS sim
+  FROM qprobe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid)
+SELECT qid, vec_id, sim FROM (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM sims) WHERE rk <= 5
+""")
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN top-k — the second production scale path next to
+    multi-probe LSH (the coarse-quantizer family: Jégou et al., TPAMI'11).
+
+    Deterministic sampled centroids (the 16 lowest vec_ids — random-sample
+    init without Lloyd iterations, so the whole index is SQL-reproducible
+    and the gate is value-level; a k-means refinement would only move the
+    centroids, not the plan). Plan shape at 100 TB: the centroid table is
+    a broadcast both times it is used; cell assignment is a map-side
+    broadcast nested loop (C cosines per row — the canonical IVF assign
+    cost) folded by ``groupBy(vec_id).max_by`` with map-side partials (no
+    window sort over the full table); the probe set (nprobe=2 cells per
+    query) is a tiny broadcast, so the candidate join touches only the
+    probed cells' rows — candidates bounded by nprobe × cell occupancy,
+    never all-pairs. Ties in argmax/probe rank are broken by cell id on
+    1e-4-rounded cosines, so both engines select identically.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("qe"))
+    csim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    # assignment: argmax cosine over the broadcast centroids, lowest cell
+    # wins ties (struct ordering: csim desc via max, then -cell)
+    asim = F.broadcast(cents).crossJoin(e) \
+        .select("vec_id", "embedding", "cell", csim.alias("csim"))
+    assign = asim.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell"),
+        F.any_value("embedding").alias("embedding"))
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    # probe the nprobe=2 nearest cells per query
+    qsim = F.broadcast(q).crossJoin(
+        cents.select("cell", F.col("qe").alias("embedding"))) \
+        .select("qid", "qe", "cell", csim.alias("csim"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), "cell")
+    qprobe = qsim.withColumn("rk", F.row_number().over(wq)) \
+        .filter(F.col("rk") <= 2).select("qid", "qe", "cell")
+    j = F.broadcast(qprobe).join(
+        assign.withColumnRenamed("cell", "acell"),
+        (F.col("acell") == F.col("cell"))
+        & (F.col("vec_id") != F.col("qid")))
+    sim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    sims = j.select("qid", "vec_id", sim.alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return sims.select("qid", "vec_id", "sim",
+                       F.row_number().over(w).alias("rk")) \
+        .filter(F.col("rk") <= 5).select("qid", "vec_id", "sim")
+
+
 @register("embedding_norms", """
 SELECT vec_id, label,
        ROUND(sqrt(list_dot_product(embedding, embedding)), 4) AS l2norm

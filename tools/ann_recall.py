@@ -50,10 +50,37 @@ multi AS (
   FROM bk q, ({probes_hd1}) j
   JOIN bk e ON e.bucket = CASE WHEN j.j = -1 THEN q.bucket
                                ELSE xor(q.bucket, 1 << j.j) END
-           AND e.vec_id <> q.vec_id)
+           AND e.vec_id <> q.vec_id),
+c AS (SELECT vec_id AS cell, embedding AS ce FROM bk WHERE vec_id < 16),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(c.ce, e.embedding)
+             / (sqrt(list_dot_product(c.ce, c.ce))
+                * sqrt(list_dot_product(e.embedding, e.embedding))) DESC,
+             c.cell) AS rk
+    FROM bk e, c) WHERE rk = 1),
+qcell AS (
+  SELECT qid, cell, rk FROM (
+    SELECT q.vec_id AS qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, c.ce)
+             / (sqrt(list_dot_product(q.embedding, q.embedding))
+                * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+             c.cell) AS rk
+    FROM bk q, c)),
+ivf1 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
+         ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 1),
+ivf2 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
+         ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 2),
+ivf4 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
+         ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 4)
 """
     out = {}
-    for name, cand in (("single_bucket", "single"), ("multiprobe_hd1", "multi")):
+    for name, cand in (("single_bucket", "single"), ("multiprobe_hd1", "multi"),
+                       ("ivf_nprobe1", "ivf1"), ("ivf_nprobe2", "ivf2"),
+                       ("ivf_nprobe4", "ivf4")):
         row = con.execute(base + f"""
 SELECT AVG(hits / {k}.0) AS recall,
        AVG(n_cand) AS mean_candidates
@@ -108,11 +135,22 @@ def planted_recall(con, sf_dir: str, sim_target: float = 0.95) -> dict:
     bsrc, bdup = bucket(E), bucket(dup)
     same = bsrc == bdup
     hd = np.array([bin(int(x)).count("1") for x in bsrc ^ bdup])
+
+    # IVF: does the perturbed copy probe the cell its source is assigned to?
+    C = E[:16]  # sampled centroids, same rule as ann_ivf_topk
+    csim_src = E @ C.T / np.linalg.norm(C, axis=1)
+    csim_dup = dup @ C.T / np.linalg.norm(C, axis=1)
+    src_cell = csim_src.argmax(1)
+    dup_rank = (-csim_dup).argsort(1)
+    ivf = {f"ivf_nprobe{n}_recall":
+           round(float((dup_rank[:, :n] == src_cell[:, None]).any(1).mean()), 4)
+           for n in (1, 2, 4)}
     return {
         "sim_planted": sim_target,
         "single_bucket_recall": round(float(same.mean()), 4),
         "multiprobe_hd1_recall": round(float((hd <= 1).mean()), 4),
         "multiprobe_hd2_recall": round(float((hd <= 2).mean()), 4),
+        **ivf,
     }
 
 
