@@ -1,0 +1,42 @@
+"""Plan-shape guards over the whole query registry.
+
+Catalyst chooses physical operators from size estimates, so a seemingly
+innocent edit (dropping a broadcast hint, filtering through a UDF) can
+silently turn a bounded broadcast join into an unbounded CartesianProduct
+or put row-at-a-time Python in the hot path — correct at sf0.01, fatal at
+100 TB. This walks the PLANNED physical plan of every registered query
+(no execution of the heavy stages) and rejects:
+
+- ``CartesianProduct``: a non-broadcast cross join materializing |L|x|R|.
+  Intentional cross joins in the registry (scaffold grids, IVF centroid
+  assignment, global-stats fan-out) are all against broadcast-sized sides
+  and must plan as BroadcastNestedLoopJoin.
+- ``BatchEvalPython``: a row-at-a-time Python UDF. All Python in the
+  registry is Arrow-batched (ArrowEvalPython / MapInArrow / mapInPandas).
+"""
+
+import pytest
+
+FORBIDDEN = {
+    "CartesianProduct": "non-broadcast cross join",
+    "BatchEvalPython": "row-at-a-time Python UDF",
+}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plans(spark):
+    import __spark_entry__ as entrymod
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_or_row_python(spark):
+    bad = {}
+    for name, plan in _plans(spark):
+        hits = [f"{node} ({why})" for node, why in FORBIDDEN.items()
+                if node in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"plan guard violations: {bad}"
