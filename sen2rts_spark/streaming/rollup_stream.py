@@ -54,6 +54,29 @@ def stream_rollup(stream: DataFrame, tier: str = "hourly",
     )
 
 
+def stream_rollup_sketch(stream: DataFrame, tier: str = "hourly",
+                         watermark: str = "2 hours",
+                         ts_col: str = "ts", id_col: str = "id",
+                         key_col: str = "key", lg_k: int = 12) -> DataFrame:
+    """Streaming distinct-key sketch tier (the streaming face of
+    ``operators.rollup.rollup_sketch``): watermark → windowed
+    ``hll_sketch_agg`` per (id, bucket). The emitted sketch column unions
+    upward through ``rollup_sketch_tier`` exactly like the batch path, so
+    a live daily tier keeps answering weekly distinct counts without a
+    raw re-read.
+    """
+    secs = TIER_SECONDS[tier]
+    return (
+        stream.select(F.col(id_col).alias("id"), F.col(ts_col).alias("ts"),
+                      F.col(key_col).alias("k"))
+        .withWatermark("ts", watermark)
+        .groupBy("id", F.window("ts", f"{secs} seconds").alias("win"))
+        .agg(F.hll_sketch_agg("k", F.lit(lg_k)).alias("key_sketch"),
+             F.count(F.lit(1)).alias("count"))
+        .select("id", F.col("win.start").alias("bucket_start"),
+                "key_sketch", "count"))
+
+
 def stream_ewma_smoother(stream: DataFrame, alpha: float = 0.3,
                          ts_col: str = "ts", id_col: str = "id",
                          value_col: str = "value"):

@@ -39,6 +39,44 @@ def test_stream_rollup_matches_batch(spark):
         assert got == want
 
 
+def test_stream_sketch_matches_batch(spark):
+    """Streaming hll sketch tier must estimate identically to the batch
+    tier on the same data (same lg_k, sparse-exact range)."""
+    from sen2rts_spark.operators.rollup import rollup_sketch
+    from sen2rts_spark.streaming.rollup_stream import stream_rollup_sketch
+    import os, tempfile
+
+    rows = []
+    base = 1_700_000_000
+    for uid in range(4):
+        for k in range(60):
+            rows.append((f"u{uid}", base + uid * 7919 + k * 1800, k % 17))
+    src = spark.createDataFrame(rows, "id string, epoch long, key long") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+
+    with tempfile.TemporaryDirectory() as d:
+        src.write.mode("overwrite").parquet(os.path.join(d, "in"))
+        stream = spark.readStream.schema("id string, key long, ts timestamp") \
+            .parquet(os.path.join(d, "in"))
+        agg = stream_rollup_sketch(stream, "hourly", watermark="1 hour")
+        q = (agg.select("id", "bucket_start", "count",
+                        F.hll_sketch_estimate("key_sketch").alias("est"))
+             .writeStream.format("memory").queryName("tier_sketch_stream")
+             .outputMode("complete")
+             .option("checkpointLocation", os.path.join(d, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        got = {(r["id"], r["bucket_start"]): (r["count"], r["est"])
+               for r in spark.sql("SELECT * FROM tier_sketch_stream").collect()}
+        want = {(r["id"], r["bucket_start"]): (r["count"], r["est"])
+                for r in rollup_sketch(src, "hourly", key_col="key")
+                .select("id", "bucket_start", "count",
+                        F.hll_sketch_estimate("key_sketch").alias("est"))
+                .collect()}
+        assert got == want and len(got) > 0
+
+
 def test_stateful_ewma_carries_state_across_batches(spark):
     import os, tempfile
     import pyspark.sql.functions as F
