@@ -157,6 +157,14 @@ BENCH_QUERIES = [
     "quality_score",
 ]
 
+# round-5 additions, timed OUTSIDE the cross-round total (like tier_read)
+# so BENCH_r{N} totals stay comparable across rounds
+EXTRA_QUERIES = [
+    "ann_ivf_topk",
+    "ann_multiprobe",
+    "rollup_distinct_sketch",
+]
+
 
 def main() -> None:
     repo_root = os.path.dirname(os.path.abspath(__file__))
@@ -249,6 +257,18 @@ def main() -> None:
     suite_cal1 = _calibrate()
     suite_steal = _steal_pct(suite_c0, _cpu_snap())
 
+    # round-5 operator additions (not in total)
+    extra: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        extra[name] = round(best, 3)
+
     # tier-read comparison on the stored blob table (min of reps each)
     blobs_path = ensure_blobs(spark, repo_root, pages_path, n_urls, n_slots)
     bench_tier_read(spark, blobs_path)  # warm
@@ -280,6 +300,8 @@ def main() -> None:
             "suite_steal_pct": suite_steal,
         },
         "bench_cache_cold": _CACHE_WAS_COLD,
+        # round-5 operator additions (not in total)
+        "extra_queries": extra,
         # stored-blob read paths (not in total: added round 5)
         "tier_read": {k: round(v, 3) for k, v in tier_best.items()},
     }
