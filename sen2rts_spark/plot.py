@@ -39,7 +39,10 @@ def collect_series_sample(df: DataFrame, n_ids: int = 4,
     w = Window.partitionBy(id_col).orderBy(date_col)
     n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
     rn = F.row_number().over(w)
-    stride = F.greatest(F.lit(1), (n / max_points_per_id).cast("int"))
+    # ceil, not floor: floor keeps every row for n just under
+    # 2*max_points_per_id (stride 1 at n=3999, max=2000), breaking the
+    # documented "at most max_points_per_id rows each" bound (ADVICE r5)
+    stride = F.greatest(F.lit(1), F.ceil(n / max_points_per_id).cast("int"))
     sampled = (sub.withColumn("_rn", rn).withColumn("_stride", stride)
                .filter((F.col("_rn") - 1) % F.col("_stride") == 0)
                .drop("_rn", "_stride"))
