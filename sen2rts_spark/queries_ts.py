@@ -295,41 +295,172 @@ def q_fill_linear_daily(spark, sf_dir):
         .alias("filled"))
 
 
-# ---- non-SQL-expressible per-series kernels: rows-only checks ------------
+# ---- real-data kernel forms with value-level INVARIANT oracles -----------
+# (VERDICT r5 task 1: the rows-only forms rotated into the gate window in r4
+# carried no oracle and turned the 50/50 artifact into 47/50+3 ERR. The
+# kernels themselves are not SQL-expressible, but their contracts on the
+# daily event series ARE: row restore, rawval passthrough, spike-flag
+# placement, knot passthrough, grid shape and the C4 clamp envelope — so the
+# pinned output is the invariant evaluation, hash-compared against a DuckDB
+# recomputation of what each invariant MUST be. Unlike the synthetic
+# structural oracles (exact by construction), the real-data bound checks
+# carry a 1e-9 absolute tolerance: the Spark-side bounds are recomputed from
+# a second materialization of the daily aggregate, whose float summation
+# order is not pinned across jobs.)
 
-@register("smooth_savgol_series")
+
+def _daily_avg(spark, sf_dir, max_id: int | None = None):
+    """(id, date, value): daily mean of the events table, the shared input
+    of the real-data kernel queries (id filter pushed below the agg)."""
+    e = load(spark, sf_dir, "events")
+    if max_id is not None:
+        e = e.filter(F.col("user_id") < max_id)
+    return e.groupBy(F.col("user_id").cast("string").alias("id"),
+                     F.to_date("ts").alias("date")) \
+        .agg(F.avg("value").alias("value"))
+
+
+# DuckDB twin of the fill() output-grid rule for orbit 000 / sensor 2A
+# (dop days = multiples of 10 in [dmin, dmax]; daily grid between the first
+# and last dop day, falling back to [dmin, dmax] when the span holds none —
+# fill_s2ts.R:78-99, kernels/series.py:279-301), unioned with the observed
+# days (full outer merge, fill_s2ts.R:102-107).
+_FILL_GRID_CTES = """
+b AS (
+  SELECT id, MIN(d) AS dmin, MAX(d) AS dmax FROM daily GROUP BY id),
+g AS (
+  SELECT id,
+         CASE WHEN (dmax // 10) * 10 >= ((dmin + 9) // 10) * 10
+              THEN ((dmin + 9) // 10) * 10 ELSE dmin END AS gs,
+         CASE WHEN (dmax // 10) * 10 >= ((dmin + 9) // 10) * 10
+              THEN (dmax // 10) * 10 ELSE dmax END AS ge
+  FROM b),
+grid AS (
+  SELECT id, UNNEST(generate_series(gs, ge)) AS d FROM g),
+alld AS (
+  SELECT id, d FROM grid UNION SELECT id, d FROM daily)"""
+
+
+@register("smooth_savgol_series", """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id, CAST(ts AS DATE) AS date,
+         AVG(value) AS v
+  FROM events GROUP BY 1, 2),
+rel AS (
+  SELECT id, date, v,
+         CASE WHEN MAX(v) OVER (PARTITION BY id) > MIN(v) OVER (PARTITION BY id)
+              THEN (v - MIN(v) OVER (PARTITION BY id))
+                   / (MAX(v) OVER (PARTITION BY id)
+                      - MIN(v) OVER (PARTITION BY id))
+              ELSE 0.0 END AS relval
+  FROM daily),
+spk AS (
+  SELECT id, date, v,
+         LAG(relval, 2) OVER w IS NOT NULL
+         AND LEAD(relval, 2) OVER w IS NOT NULL
+         AND GREATEST(LAG(relval, 1) OVER w, LAG(relval, 2) OVER w)
+             - relval > 0.25
+         AND GREATEST(LEAD(relval, 1) OVER w, LEAD(relval, 2) OVER w)
+             - relval > 0.25 AS is_spike
+  FROM rel WINDOW w AS (PARTITION BY id ORDER BY date))
+SELECT id, date, ROUND(v, 6) AS rawval_r, is_spike AS smooth_null,
+       CASE WHEN NOT is_spike THEN TRUE END AS inb
+FROM spk
+""")
 def q_smooth_savgol_series(spark, sf_dir):
-    """W4-W6: spike removal + iterated weighted SG over daily event series.
+    """W4-W6 on the REAL daily event series, invariant oracle.
 
-    Not SQL-expressible (iterated weighted regression) → rows-only check.
+    The full ``smooth()`` pipeline (qa filter → spike removal → dop grid →
+    iterated weighted SG → semi-join restore → clamp, smooth_s2ts.R:60-239)
+    runs on the daily series with qa=1; the pinned output evaluates its
+    SQL-checkable contract per row:
+
+    - row restore: the output (id, date) set equals the input daily set
+      (row-count + key hash — smooth_s2ts.R:229's full outer restore);
+    - rawval passthrough: round(rawval, 6) equals the daily mean;
+    - smooth_null: with qa=1 the ONLY rows the kernel may null are the
+      spike-removed ones (smooth_s2ts.R:128-154, noise_dir='low',
+      spike=0.25, window 5) — the oracle recomputes the spike flag in
+      window SQL, so spike placement is value-verified on real data;
+    - inb: every surviving smoothed value obeys the C4 clamp
+      [omin - 0.1r, omax + 0.1r] over the POST-spike observed values
+      (smooth_s2ts.R:223-226), ±1e-9 (bounds recomputed in a second agg).
     """
     from .operators.timeseries import smooth
-    e = load(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
-                      F.to_date("ts").alias("date")) \
-        .agg(F.avg("value").alias("value"), F.lit(1.0).alias("qa"),
-             F.lit("000").alias("orbit"), F.lit("2A").alias("sensor")) \
-        .select("id", "date", "orbit", "sensor", "value", "qa")
-    out = smooth(daily, min_qa=0.0, sg_daywindow=15)
-    return out.select("id", "date",
-                      F.round("value", 6).alias("smoothed"),
-                      F.round("rawval", 6).alias("rawval"))
+    daily = _daily_avg(spark, sf_dir)
+    obs = daily.select("id", "date", F.lit("000").alias("orbit"),
+                       F.lit("2A").alias("sensor"), "value",
+                       F.lit(1.0).alias("qa"))
+    out = smooth(obs, min_qa=0.0, sg_daywindow=15)
+
+    wid = Window.partitionBy("id")
+    w = Window.partitionBy("id").orderBy("date")
+    vmin, vmax = F.min("value").over(wid), F.max("value").over(wid)
+    rel = daily.withColumn(
+        "relval", F.when(vmax > vmin,
+                         (F.col("value") - vmin) / (vmax - vmin))
+                   .otherwise(F.lit(0.0)))
+    spike = (F.lag("relval", 2).over(w).isNotNull()
+             & F.lead("relval", 2).over(w).isNotNull()
+             & (F.greatest(F.lag("relval", 1).over(w),
+                           F.lag("relval", 2).over(w))
+                - F.col("relval") > 0.25)
+             & (F.greatest(F.lead("relval", 1).over(w),
+                           F.lead("relval", 2).over(w))
+                - F.col("relval") > 0.25))
+    bounds = rel.withColumn("is_spike", spike).filter(~F.col("is_spike")) \
+        .groupBy("id").agg(F.min("value").alias("omin"),
+                           F.max("value").alias("omax"))
+    lo = F.col("omin") - (F.col("omax") - F.col("omin")) * 0.1 - 1e-9
+    hi = F.col("omax") + (F.col("omax") - F.col("omin")) * 0.1 + 1e-9
+    return out.join(F.broadcast(bounds), "id").select(
+        "id", "date",
+        F.round("rawval", 6).alias("rawval_r"),
+        F.col("value").isNull().alias("smooth_null"),
+        F.when(F.col("value").isNotNull(),
+               (F.col("value") >= lo) & (F.col("value") <= hi)).alias("inb"))
 
 
-@register("fill_spline_series")
+@register("fill_spline_series", """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         AVG(value) AS v
+  FROM events GROUP BY 1, CAST(ts AS DATE)),""" + _FILL_GRID_CTES + """
+SELECT a.id, DATE '1970-01-01' + a.d::INT AS date,
+       k.d IS NULL AS interpolated,
+       CASE WHEN k.d IS NOT NULL THEN ROUND(k.v, 6) END AS vk,
+       CASE WHEN k.d IS NULL THEN TRUE END AS inb
+FROM alld a LEFT JOIN daily k ON k.id = a.id AND k.d = a.d
+""")
 def q_fill_spline_series(spark, sf_dir):
-    """C9: FMM-spline daily gap fill — rows-only (spline not in SQL)."""
+    """C9 FMM spline on the REAL daily event series, invariant oracle
+    (fill_s2ts.R:40-144; same contract shape as ``fill_spline_structural``
+    but over real data, where the oracle pins structure instead of values):
+
+    - grid shape: output rows = observed days ∪ the daily dop-grid span
+      (the oracle rebuilds the orbit-000 grid rule in SQL);
+    - interpolated flag: true exactly on the injected grid days;
+    - knot passthrough: at observed days the spline returns the knot value
+      verbatim (fmm_spline_eval at dx=0), so vk = round(daily mean, 6);
+    - inb: every interpolated value obeys the C4 clamp envelope
+      [ymin - 0.1r, ymax + 0.1r] of the observed values, ±1e-9.
+    """
     from .operators.timeseries import fill
-    e = load(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
-                      F.to_date("ts").alias("date")) \
-        .agg(F.avg("value").alias("value"))
+    daily = _daily_avg(spark, sf_dir)
     sm = daily.select("id", "date", F.lit("000").alias("orbit"),
                       F.lit("2A").alias("sensor"), "value",
                       F.lit(1.0).alias("qa"), F.col("value").alias("rawval"))
     out = fill(sm)
-    return out.select("id", "date", F.round("value", 6).alias("filled"),
-                      "interpolated")
+    bounds = daily.groupBy("id").agg(F.min("value").alias("ymin"),
+                                     F.max("value").alias("ymax"))
+    lo = F.col("ymin") - (F.col("ymax") - F.col("ymin")) * 0.1 - 1e-9
+    hi = F.col("ymax") + (F.col("ymax") - F.col("ymin")) * 0.1 + 1e-9
+    return out.join(F.broadcast(bounds), "id").select(
+        "id", "date", "interpolated",
+        F.when(~F.col("interpolated"), F.round("value", 6)).alias("vk"),
+        F.when(F.col("interpolated"),
+               (F.col("value") >= lo) & (F.col("value") <= hi)).alias("inb"))
 
 
 @register("cut_cycles_series")
@@ -1108,30 +1239,62 @@ def q_detect_forages_flags(spark, sf_dir):
                       F.round("ncuts", 6).alias("ncuts"), "forage")
 
 
-@register("fit_curves_long")
+@register("fit_curves_long", """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         AVG(value) AS v
+  FROM events WHERE user_id < 5 GROUP BY 1, CAST(ts AS DATE)),"""
+          + _FILL_GRID_CTES + """
+SELECT a.id, 2024 AS year, 1 AS cycle,
+       DATE '1970-01-01' + a.d::INT AS date,
+       CASE WHEN k.d IS NOT NULL THEN ROUND(k.v, 6) END AS vk,
+       CASE WHEN k.d IS NULL THEN TRUE END AS inb,
+       'no' AS fit_method
+FROM alld a LEFT JOIN daily k ON k.id = a.id AND k.d = a.d
+""")
 def q_fit_curves_long(spark, sf_dir):
-    """C12/s2fit_to_s2ts: per-cycle Gu fit flattened to a long table —
-    rows-only (NLS fit not SQL-expressible)."""
+    """C12/s2fit_to_s2ts long-table plumbing on real data, invariant oracle
+    (fit_curve.R:14-24,112,146; s2fit_to_s2ts.R:6-20).
+
+    The REAL fill → fit_curves chain runs with ``fit='no'`` (the reference's
+    identity fit), one synthetic cycle per id spanning [min date, max date+1).
+    SQL-checkable contract: the per-cycle long output contains exactly the
+    filled grid rows of its [begin, end) window (row set = observed ∪ dop
+    grid — same grid CTEs as ``fill_spline_series``); the global-rescale
+    round-trip ``g0 + (v-g0)/r*r`` is value-preserving, so at observed days
+    value_fitted = the daily mean (vk, round 6) and at interpolated days it
+    stays inside the C4 clamp envelope ±1e-9 (inb); fit_method reports the
+    requested 'no' link for every cycle.
+    """
     from .operators.pheno_tools import fit_curves
-    e = load(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
-                      F.to_date("ts").alias("date")) \
-        .agg(F.avg("value").alias("value")) \
-        .filter(F.col("id").cast("int") < 5)
-    # keep it small: first 5 users, one synthetic cycle each over their span
-    bounds = daily.groupBy("id").agg(
+    from .operators.timeseries import fill
+    daily = _daily_avg(spark, sf_dir, max_id=5)
+    dbounds = daily.groupBy("id").agg(
         F.min("date").alias("begin"),
         F.date_add(F.max("date"), 1).alias("end"))
-    cycles = bounds.select(
+    cycles = dbounds.select(
         "id", F.lit(2024).alias("year"), F.lit(1).alias("cycle"),
         "begin", "end")
-    # fit needs a daily grid: fill linearly first
-    from .operators.timeseries import fill
     sm = daily.select("id", "date", F.lit("000").alias("orbit"),
                       F.lit("2A").alias("sensor"), "value",
                       F.lit(1.0).alias("qa"), F.col("value").alias("rawval"))
-    filled = fill(sm).filter(F.col("id").cast("int") < 5)
-    return fit_curves(filled, cycles, fit="no")
+    out = fit_curves(fill(sm), cycles, fit="no")
+    vbounds = daily.groupBy("id").agg(F.min("value").alias("ymin"),
+                                      F.max("value").alias("ymax"))
+    lo = F.col("ymin") - (F.col("ymax") - F.col("ymin")) * 0.1 - 1e-9
+    hi = F.col("ymax") + (F.col("ymax") - F.col("ymin")) * 0.1 + 1e-9
+    return out \
+        .join(daily.select("id", "date", F.lit(True).alias("obs")),
+              ["id", "date"], "left") \
+        .join(F.broadcast(vbounds), "id").select(
+            "id", "year", "cycle", "date",
+            F.when(F.col("obs").isNotNull(),
+                   F.round("value_fitted", 6)).alias("vk"),
+            F.when(F.col("obs").isNull(),
+                   (F.col("value_fitted") >= lo)
+                   & (F.col("value_fitted") <= hi)).alias("inb"),
+            "fit_method")
 
 
 def _small_filled_cycles(spark, sf_dir, n_ids=3):
