@@ -18,6 +18,30 @@ from pyspark.sql import DataFrame, Window
 
 __all__ = ["aggregate_pheno", "assign_season", "detect_forages", "fit_curves"]
 
+def _with_rescale_cols(filled: DataFrame, joined: DataFrame,
+                       rescale: tuple | None) -> DataFrame:
+    """Attach the GLOBAL rescale (fit_curve.R:112 — over the whole filled
+    table, NOT per id) as constant columns ``_g0``/``_gr``.
+
+    Known rescale → two literals. Unknown → a broadcast single-row aggregate
+    crossJoin, so the whole plan stays one lazy DAG with no driver-side
+    ``.first()`` at plan-construction time (VERDICT r5 task 7); ``filled``
+    is persisted (bounded, see _cache) so the stats job materializes the
+    cache and the main branch reads InMemoryTableScan instead of re-running
+    the fill→smooth lineage. Callers holding committed stage-table stats
+    (catalog) can pass ``rescale=(gmin, gmax - gmin)`` and skip both.
+    """
+    if rescale is not None:
+        return joined.withColumn("_g0", F.lit(float(rescale[0]))) \
+                     .withColumn("_gr", F.lit(float(rescale[1])))
+    from ._cache import persist_swap
+    persist_swap(filled)
+    stats = filled.agg(
+        F.min("value").alias("_g0"),
+        (F.max("value") - F.min("value")).alias("_gr"))
+    return joined.crossJoin(F.broadcast(stats))
+
+
 # agg-fn-by-name whitelist (the reference's fun= hook, aggregate_pheno.R:95-108)
 _AGG_FUNS = {
     "median": lambda c, **kw: F.expr(f"percentile({c}, 0.5)"),
@@ -199,32 +223,23 @@ def fit_curves(filled: DataFrame, cycles: DataFrame, fit="gu",
     from ..kernels.dlog import fit_with_fallback
     from .grouped import grouped_apply
 
-    if rescale is None:
-        # persist: the agg job materializes the cache so the join below
-        # reuses it instead of re-running the upstream fill/smooth lineage
-        # (was a full second pass over `filled` per call). persist_swap
-        # bounds repeated calls to one live cache (see _cache). Callers with
-        # catalog stats can pass rescale=(gmin, gmax - gmin) directly.
-        from ._cache import persist_swap
-        filled = persist_swap(filled)
-        gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
-        rescale = (float(gmin), float(gmax) - float(gmin))
-
     joined = filled.select("id", "date", "value").join(
         cycles.select("id", "year", "cycle", "begin", "end"), "id")
     joined = joined.filter((F.col("date") >= F.col("begin"))
                            & (F.col("date") < F.col("end")))
+    joined = _with_rescale_cols(filled, joined, rescale)
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g0, gr = float(pdf["_g0"].iloc[0]), float(pdf["_gr"].iloc[0])
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        relval = (vals - rescale[0]) / rescale[1]
+        relval = (vals - g0) / gr
         fitted = fit_with_fallback(relval, fit)
         if fitted is None:
             return None
         return pd.DataFrame({
             "id": pdf["id"].iloc[0], "year": int(pdf["year"].iloc[0]),
             "cycle": int(pdf["cycle"].iloc[0]), "date": pdf["date"].to_numpy(),
-            "value_fitted": rescale[0] + fitted["predicted"] * rescale[1],
+            "value_fitted": g0 + fitted["predicted"] * gr,
             "fit_method": fitted["method"],
         })
 

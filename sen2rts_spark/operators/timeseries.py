@@ -182,22 +182,14 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit="gu",
     the RD date from the SD metric (extract_pheno.R:178 — an upstream quirk
     we do NOT reproduce; RD here is the recession date itself).
     """
-    if rescale is None:
-        # The min/max agg and the join both consume `filled`; without a
-        # persist the whole upstream lineage (fill → smooth → scan) would
-        # execute twice per call. The agg job materializes the cache, the
-        # join then reads InMemoryTableScan — one materialization total.
-        # persist_swap bounds repeated calls to one live cache (see _cache).
-        # Callers holding committed stage-table stats (catalog) can pass
-        # ``rescale=(gmin, gmax - gmin)`` and skip both the agg and the cache.
-        from ._cache import persist_swap
-        filled = persist_swap(filled)
-        gmin, gmax = filled.agg(F.min("value"), F.max("value")).first()
-        rescale = (float(gmin), float(gmax) - float(gmin))
-
     joined = filled.select("id", "date", "value").join(cycles, "id")
     joined = joined.filter((F.col("date") >= F.col("begin"))
                            & (F.col("date") < F.col("end")))
+    # global rescale as constant columns: literals when known, else a
+    # broadcast single-row aggregate (lazy — no plan-time .first(); the
+    # persist inside bounds the double consumption of `filled`)
+    from .pheno_tools import _with_rescale_cols
+    joined = _with_rescale_cols(filled, joined, rescale)
 
     if method in ("trs", "derivatives"):
         schema = PHENO_SCHEMA
@@ -222,8 +214,9 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit="gu",
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         # groups arrive sorted by date (grouped_apply order=["date"])
+        g0, gr = float(pdf["_g0"].iloc[0]), float(pdf["_gr"].iloc[0])
         vals = pdf["value"].to_numpy(dtype=np.float64)
-        relval = (vals - rescale[0]) / rescale[1]
+        relval = (vals - g0) / gr
         fitted = fit_with_fallback(relval, fit)
         base = {
             "id": pdf["id"].iloc[0], "year": int(pdf["year"].iloc[0]),
@@ -257,7 +250,7 @@ def extract_pheno(filled: DataFrame, cycles: DataFrame, fit="gu",
         for k in date_metrics:
             row[k] = _to_date(m[k])
         for k in value_metrics:
-            row[k] = rescale[0] + m[k] * rescale[1]
+            row[k] = g0 + m[k] * gr
         for k in raw_metrics:
             row[k] = m[k]
         for k in int_metrics:

@@ -830,16 +830,22 @@ def q_fit_curves_invariant(spark, sf_dir):
     from .operators.timeseries import cut_cycles
     ser = _bump_series(spark, sf_dir, 47, 1)
     cycles = cut_cycles(ser)
-    gmin, gmax = ser.agg(F.min("value"), F.max("value")).first()
-    rng = float(gmax) - float(gmin)
-    fitted = fit_curves(ser, cycles, fit=("gu", "klosterman"),
-                        rescale=(float(gmin), rng))
-    return fitted.groupBy("id", "year", "cycle").agg(
-        F.count(F.lit(1)).cast("int").alias("n_rows"),
-        ((F.min("value_fitted") >= float(gmin) - rng)
-         & (F.max("value_fitted") <= float(gmax) + rng)).alias("bounds_ok"),
-        F.every(F.col("fit_method").isin("gu", "klosterman"))
-         .alias("method_ok"))
+    # rescale resolves lazily inside fit_curves (broadcast stats over ser);
+    # the envelope bounds below use the same stats via a second broadcast —
+    # min/max are exact selections, so the two jobs agree bit-for-bit and
+    # no plan-time .first() is needed (VERDICT r5 task 7)
+    fitted = fit_curves(ser, cycles, fit=("gu", "klosterman"))
+    stats = ser.agg(F.min("value").alias("_bmin"),
+                    F.max("value").alias("_bmax"))
+    bmin, bmax = F.any_value("_bmin"), F.any_value("_bmax")
+    rng = bmax - bmin
+    return fitted.crossJoin(F.broadcast(stats)) \
+        .groupBy("id", "year", "cycle").agg(
+            F.count(F.lit(1)).cast("int").alias("n_rows"),
+            ((F.min("value_fitted") >= bmin - rng)
+             & (F.max("value_fitted") <= bmax + rng)).alias("bounds_ok"),
+            F.every(F.col("fit_method").isin("gu", "klosterman"))
+             .alias("method_ok"))
 
 
 @register("extract_pheno_structural", _bump_cycles_sql(47, 2, """
@@ -863,12 +869,12 @@ def q_extract_pheno_structural(spark, sf_dir):
     from .operators.timeseries import cut_cycles, extract_pheno
     ser = _bump_series(spark, sf_dir, 47, 2)
     cycles = cut_cycles(ser)
-    gmin, gmax = ser.agg(F.min("value"), F.max("value")).first()
-    rescale = (float(gmin), float(gmax) - float(gmin))
-    fitted = fit_curves(ser, cycles, fit=("gu", "klosterman"),
-                        rescale=rescale)
+    # both calls resolve the global rescale lazily from the same `ser`
+    # stats (exact min/max selections → bit-identical across the two
+    # broadcast jobs); no plan-time .first() (VERDICT r5 task 7)
+    fitted = fit_curves(ser, cycles, fit=("gu", "klosterman"))
     ph = extract_pheno(ser, cycles, fit=("gu", "klosterman"), method="trs",
-                       trs=0.5, rescale=rescale)
+                       trs=0.5)
 
     part = ["id", "year", "cycle"]
     w = Window.partitionBy(*part).orderBy("date")

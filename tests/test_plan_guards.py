@@ -40,3 +40,37 @@ def test_no_cartesian_or_row_python(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"plan guard violations: {bad}"
+
+
+# Driver-side actions a query builder must never run at plan-construction
+# time: a .count()/.first() during construction forces a Spark job before
+# the caller's action (and on a cluster, a full lineage execution) just to
+# build the plan — global scalars belong in broadcast single-row aggregates
+# (VERDICT r5 task 7). Zero-arg guard: `F.count(...)`/`F.first(col)` are
+# Catalyst expressions, not actions, and always carry arguments.
+DRIVER_ACTIONS = {"count", "collect", "first", "head", "toPandas"}
+
+
+def test_no_driver_actions_in_query_builders():
+    import ast
+    import inspect
+
+    from sen2rts_spark import queries, queries_docs, queries_ts
+    from sen2rts_spark.operators import (extract, gorilla_sink, grouped,
+                                         pheno_tools, rollup, skew,
+                                         timeseries)
+
+    bad = []
+    for mod in (queries, queries_docs, queries_ts, extract, gorilla_sink,
+                grouped, pheno_tools, rollup, skew, timeseries):
+        tree = ast.parse(inspect.getsource(mod))
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in DRIVER_ACTIONS
+                    and not node.args and not node.keywords
+                    and not (isinstance(node.func.value, ast.Name)
+                             and node.func.value.id == "F")):
+                bad.append(f"{mod.__name__}:{node.lineno} "
+                           f".{node.func.attr}()")
+    assert not bad, f"driver actions in query/operator modules: {bad}"
