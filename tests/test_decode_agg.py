@@ -68,3 +68,19 @@ def test_agg_total_count_matches_blob_header(spark):
         assert n_header == n_agg
     finally:
         blobs.unpersist()
+
+
+def test_encode_rejects_nan_values(spark):
+    """NaN guard (ADVICE r5): the sink refuses NaN at encode time so the
+    decode_blobs_agg == decode_blobs+groupBy equality contract holds
+    unconditionally (numpy reductions propagate NaN; Spark min/max order
+    it as the largest double — the two plans would silently diverge)."""
+    import pytest
+    from sen2rts_spark.operators.gorilla_sink import encode_blobs
+    tier = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", float("nan")),
+         ("a", "2024-01-02 00:00:00", 1.0)],
+        "id string, bucket_start string, value double") \
+        .withColumn("bucket_start", F.to_timestamp("bucket_start"))
+    with pytest.raises(Exception, match="NaN"):
+        encode_blobs(tier, "daily").collect()

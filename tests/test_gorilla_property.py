@@ -128,3 +128,66 @@ def test_multi_edge_groups():
         dts, dvals = gorilla_decode(blob)
         assert np.array_equal(dts, np.asarray(ts, np.int64))
         assert np.array_equal(dvals, np.asarray(vals, np.float64))
+
+
+# ---- cross-blob vectorized decoder (gorilla_decode_multi) ------------------
+
+from sen2rts_spark.kernels.gorilla import gorilla_decode_multi  # noqa: E402
+
+
+def _decode_multi_blobs(blobs):
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    offs = np.cumsum([0] + [len(b) for b in blobs]).astype(np.int64)
+    return gorilla_decode_multi(data, offs)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31),
+       nblobs=st.integers(min_value=1, max_value=40))
+@settings(max_examples=40, deadline=None)
+def test_decode_multi_equals_scalar(seed, nblobs):
+    """Lockstep decoder == per-blob decoder, bit-exact, over mixed blob
+    classes: empty/single-point blobs, all-repeat values, NaN payload bits,
+    irregular and regular cadences, class-4 (64-bit) delta-of-deltas,
+    and BOTH encoder paths (scalar < _SMALL_N, vectorized above)."""
+    rng = np.random.default_rng(seed)
+    blobs, series = [], []
+    for i in range(nblobs):
+        kind = i % 6
+        n = int(rng.integers(0, 260)) if kind else int(rng.integers(192, 400))
+        if n == 0:
+            ts = np.zeros(0, np.int64)
+            vals = np.zeros(0, np.float64)
+        elif kind == 1:
+            ts = np.arange(n, dtype=np.int64) * 86400
+            vals = np.full(n, 7.25)                      # no '11' token at all
+        elif kind == 2:
+            ts = np.cumsum(rng.integers(1, 10**7, n))    # class-4 dods
+            vals = rng.normal(0, 1e3, n)
+        elif kind == 3:
+            ts = np.cumsum(rng.integers(1, 3, n))
+            vals = np.where(rng.random(n) < 0.5, 3.5,
+                            rng.standard_normal(n))      # mixed repeats
+        else:
+            ts = np.cumsum(rng.integers(1, 1000, n)) - 10**9
+            vals = rng.normal(0, 1, n)
+            vals[rng.random(n) < 0.15] = np.nan
+        ts = np.asarray(ts, np.int64)
+        vals = np.asarray(vals, np.float64)
+        blobs.append(gorilla_encode(ts, vals))
+        series.append((ts, vals))
+    counts, dts, dvals = _decode_multi_blobs(blobs)
+    bases = np.cumsum(counts) - counts
+    for g, (ts, vals) in enumerate(series):
+        assert counts[g] == len(ts)
+        sl = slice(bases[g], bases[g] + counts[g])
+        assert np.array_equal(dts[sl], ts)
+        assert np.array_equal(dvals[sl].view(np.uint64),
+                              vals.view(np.uint64))
+
+
+def test_decode_multi_rejects_bad_magic():
+    import pytest
+    blob = bytearray(gorilla_encode(np.arange(3), np.ones(3)))
+    blob[0] ^= 0xFF
+    with pytest.raises(ValueError, match="magic"):
+        _decode_multi_blobs([bytes(blob)])
