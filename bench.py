@@ -59,6 +59,41 @@ def _steal_pct(c0: list[int], c1: list[int]) -> float:
     return round(100.0 * d[7] / tot, 2) if tot and len(d) > 7 else 0.0
 
 
+def _wait_quiet(gate: dict, label: str) -> None:
+    """Block until the host is in a quiet phase (or the shared deadline
+    expires), so the OFFICIAL bench artifact is taken in a healthy window
+    instead of proving a regression away in side files (VERDICT r5 task 2).
+
+    Same instruments and thresholds as tools/quiet_bench.py: single-thread
+    cal probe <= cal_max AND idle steal <= steal_max over a 2 s window.
+    Every probe is logged into ``gate`` (BENCH_r{N} host block, task 9);
+    nothing is discarded silently. SPARK_GRAFT_QUIET_DEADLINE=0 disables.
+    """
+    deadline = gate["deadline_ts"]
+    if deadline <= time.time():
+        gate["sections"].append({"label": label, "skipped": "no budget"})
+        return
+    cal_max = float(os.environ.get("SPARK_GRAFT_QUIET_CAL_MAX", "0.55"))
+    steal_max = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL_MAX", "0.5"))
+    poll = float(os.environ.get("SPARK_GRAFT_QUIET_POLL", "15"))
+    sec = {"label": label, "probes": [], "accepted": None}
+    gate["sections"].append(sec)
+    while True:
+        cal = _calibrate()
+        c0 = _cpu_snap()
+        time.sleep(2.0)
+        steal = _steal_pct(c0, _cpu_snap())
+        probe = {"cal_sec": cal, "steal_pct": steal}
+        sec["probes"].append(probe)
+        if cal <= cal_max and steal <= steal_max:
+            sec["accepted"] = probe
+            return
+        if time.time() + poll >= deadline:
+            sec["accepted"] = False  # proceeding degraded, on the record
+            return
+        time.sleep(poll)
+
+
 def ensure_pages(spark, repo_root: str, n_urls: int, n_slots: int) -> str:
     """Materialize the synthetic pages table once (generation excluded from
     the timed path; the service benchmark starts at the parquet scan)."""
@@ -211,6 +246,12 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
 
+    # steal-gated quiet window for the timed sections (VERDICT r5 tasks 2/9)
+    gate = {"deadline_ts": time.time()
+            + float(os.environ.get("SPARK_GRAFT_QUIET_DEADLINE", "1200")),
+            "sections": []}
+    _wait_quiet(gate, "rollup")
+
     # headline service path — cal + steal per rep so a cross-round regression
     # is attributable to host phase vs code (VERDICT r4 "what's wrong" #1)
     roll_secs, n_points = [], 0
@@ -238,11 +279,13 @@ def main() -> None:
     extras = 0
     while extras < 3 and (_best_health()["steal_pct"] > 1.5
                           or _best_health()["cal_sec"] > 0.65):
+        _wait_quiet(gate, f"rollup_extra_{extras + 1}")
         _roll_rep()
         extras += 1
     roll_sec = min(roll_secs)
     per_query["rollup_gorilla_pipeline"] = round(roll_sec, 3)
 
+    _wait_quiet(gate, "suite")
     suite_cal0 = _calibrate()
     suite_c0 = _cpu_snap()
     for name in BENCH_QUERIES:
@@ -296,8 +339,17 @@ def main() -> None:
         "host": {
             "rollup_reps": roll_health,
             "rollup_best_rep": _best_health(),
+            # explicit extras accounting (ADVICE r5): min over the FIRST
+            # `reps` draws compares like-for-like across rounds; the
+            # headline min may additionally draw on `extra_reps` hunts
+            "extra_reps": extras,
+            "roll_min_first_reps": round(min(roll_secs[:reps]), 3),
             "suite_cal_sec": [suite_cal0, suite_cal1],
             "suite_steal_pct": suite_steal,
+            # quiet-window gate decisions (accepted probe cal/steal per
+            # timed section, or False if the deadline forced a degraded
+            # run) — VERDICT r5 task 9
+            "quiet_gate": gate["sections"],
         },
         "bench_cache_cold": _CACHE_WAS_COLD,
         # round-5 operator additions (not in total)

@@ -870,8 +870,13 @@ _PRIORITY = [
     "quality_score", "lang_id_heuristic",
     # ann_lsh_bucketed rotated out (its single-bucket probe is a strict
     # subset of ann_multiprobe's probe set) for ann_ivf_topk, the
-    # coarse-quantizer scale path.
-    "ann_cosine_topk", "ann_ivf_topk", "ann_multiprobe",
+    # coarse-quantizer scale path. This round ann_multiprobe (hd1, 8 bits,
+    # green r5; still in the tail + bench extras) rotates out for
+    # ann_production_recall — the SAME probe-expansion plan at production
+    # settings (16 bits, full hd<=2 = 137 probes) over planted near-dups,
+    # with recall >= 0.9 pinned in the hash-gated output (VERDICT r5
+    # task 5).
+    "ann_cosine_topk", "ann_ivf_topk", "ann_production_recall",
     "label_centroid_distance",
     "media_feature_extract", "dedup_embedding_near",
     "repetition_ratio", "term_doc_freq",

@@ -676,6 +676,124 @@ def q_ann_ivf_topk(spark, sf_dir):
         .filter(F.col("rk") <= 5).select("qid", "vec_id", "sim")
 
 
+# --- production-threshold ANN recall gate (VERDICT r5 task 5) -------------
+# 16-bit hyperplane signatures + full Hamming-<=2 multi-probe (1+16+120 =
+# 137 probe buckets/query) over a corpus with DETERMINISTIC planted
+# near-dups: twin_i = base_i + 0.2 * rot(base_i) in double arithmetic,
+# giving cosine >= 0.979 per pair (well inside the sim>=0.9 near-dup band)
+# while genuinely crossing hyperplanes (mean Hamming distance 1.0; 3/50
+# pairs land past hd2). The Spark side runs the REAL probe-expansion
+# search; the oracle pins each pair's found flag via the mathematically
+# equivalent hamming(sig_q, sig_b) <= 2 predicate and hard-codes
+# recall_ok = TRUE, so recall >= 0.9 at production settings is part of
+# the hash-gated output (measured: 47/50 = 0.94).
+ANN_PROD_BITS = 16
+ANN_PROD_SCALE = "0.2"
+
+
+def _sig16(col: str):
+    """16-bit hyperplane signature of a double-array column (0-based)."""
+    return sum((F.when(F.expr(f"{col}[{2 * j}] - {col}[{2 * j + 1}]") >= 0,
+                       F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(ANN_PROD_BITS)), start=F.lit(0))
+
+
+_PROD_SIG_SQL = " + ".join(
+    f"(CASE WHEN {{c}}[{2 * j + 1}] - {{c}}[{2 * j + 2}] >= 0 "
+    f"THEN {1 << j} ELSE 0 END)" for j in range(ANN_PROD_BITS))
+
+
+@register("ann_production_recall", f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64),
+                        i -> CAST(embedding[i] AS DOUBLE)) AS b
+  FROM embeddings WHERE vec_id % 10 = 0),
+tw AS (
+  SELECT vec_id, b,
+         list_transform(generate_series(1, 64),
+                        i -> b[i] + {ANN_PROD_SCALE} * b[(i % 64) + 1]) AS t
+  FROM base),
+sig AS (
+  SELECT vec_id,
+         {_PROD_SIG_SQL.format(c='t')} AS sq,
+         {_PROD_SIG_SQL.format(c='b')} AS sb,
+         list_dot_product(t, b)
+         / (sqrt(list_dot_product(t, t))
+            * sqrt(list_dot_product(b, b))) AS sim
+  FROM tw)
+SELECT vec_id AS base_id, vec_id + 100000 AS twin_id,
+       ROUND(sim, 4) AS sim,
+       CAST(bit_count(CAST(xor(sq, sb) AS BIGINT)) AS INT) AS hd,
+       bit_count(CAST(xor(sq, sb) AS BIGINT)) <= 2 AND sim >= 0.9 AS found,
+       TRUE AS recall_ok
+FROM sig
+""")
+def q_ann_production_recall(spark, sf_dir):
+    """Near-dup retrieval at production ANN settings, value-gated.
+
+    Plan shape at 100 TB: signatures are pure Catalyst projections; the
+    probe set (137 buckets x planted queries) is a broadcast; candidates
+    join on the bucket key only (shuffle key = bucket, never all-pairs);
+    the partner check is a broadcast left join. ``found`` comes out of the
+    actual probe-join search — the oracle's hamming predicate is the
+    independent recomputation — and ``recall_ok`` pins recall >= 0.9.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    base = e.select("vec_id", dbl.alias("b"))
+    twin = F.expr(f"transform(sequence(0, 63), "
+                  f"i -> b[i] + {ANN_PROD_SCALE}D * b[(i + 1) % 64])")
+    planted = base.filter(F.col("vec_id") % 10 == 0) \
+        .select("vec_id", "b", twin.alias("t"))
+    corpus = base.select("vec_id", F.col("b").alias("v")) \
+        .unionAll(planted.select((F.col("vec_id") + 100000).alias("vec_id"),
+                                 F.col("t").alias("v"))) \
+        .withColumn("bucket", _sig16("v"))
+    qs = planted.select(
+        (F.col("vec_id") + 100000).alias("qid"),
+        F.col("t").alias("qe"), _sig16("t").alias("qsig"))
+    masks = ([0] + [1 << i for i in range(ANN_PROD_BITS)]
+             + [(1 << i) | (1 << j) for i in range(ANN_PROD_BITS)
+                for j in range(i + 1, ANN_PROD_BITS)])
+    probes = qs.select(
+        "qid", "qe",
+        F.explode(F.array(*[F.col("qsig").bitwiseXOR(F.lit(m))
+                            for m in masks])).alias("pb"))
+    cand = F.broadcast(probes).join(
+        corpus, (F.col("bucket") == F.col("pb"))
+        & (F.col("vec_id") != F.col("qid")))
+    dot = ("aggregate(zip_with(qe, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+           "(acc, p) -> acc + p)")
+    nq = ("sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))")
+    nv = ("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))")
+    csim = F.expr(dot) / (F.expr(nq) * F.expr(nv))
+    hits = cand.filter(csim >= 0.9) \
+        .select("qid", F.col("vec_id").alias("hit_id"))
+    pair_dot = ("aggregate(zip_with(t, b, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)")
+    pair_nt = ("sqrt(aggregate(t, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))")
+    pair_nb = ("sqrt(aggregate(b, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))")
+    pair_sim = F.expr(pair_dot) / (F.expr(pair_nt) * F.expr(pair_nb))
+    pairs = planted.select(
+        F.col("vec_id").alias("base_id"),
+        (F.col("vec_id") + 100000).alias("twin_id"),
+        F.round(pair_sim, 4).alias("sim"),
+        F.bit_count(_sig16("t").bitwiseXOR(_sig16("b"))).cast("int")
+        .alias("hd"))
+    res = pairs.join(
+        hits.select(F.col("qid").alias("twin_id"), "hit_id"),
+        ["twin_id"], "left") \
+        .withColumn("found",
+                    F.coalesce(F.col("hit_id") == F.col("base_id"),
+                               F.lit(False)))
+    found_any = res.groupBy("base_id", "twin_id", "sim", "hd").agg(
+        F.max("found").alias("found"))
+    rec = found_any.agg(
+        (F.avg(F.col("found").cast("double")) >= 0.9).alias("recall_ok"))
+    return found_any.crossJoin(F.broadcast(rec))
+
+
 @register("embedding_norms", """
 SELECT vec_id, label,
        ROUND(sqrt(list_dot_product(embedding, embedding)), 4) AS l2norm

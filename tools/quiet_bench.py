@@ -89,6 +89,10 @@ def main() -> int:
             r = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py")],
                 capture_output=True, text=True, cwd=REPO, timeout=1800)
+        except subprocess.TimeoutExpired:
+            # keep the documented 0/1/2 exit contract instead of a traceback
+            print("bench timed out after 1800 s", flush=True)
+            return 1
         finally:
             for p in pids:
                 try:
