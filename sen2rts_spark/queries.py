@@ -903,9 +903,16 @@ _PRIORITY = [
     # entries remain in the first 50.
     # whittaker_linear_structural (identity fixed point) rotated out for
     # whittaker_sine_recon, the inverse-constructed NON-identity oracle.
+    # extract_pheno_gu_structural rotates IN (VERDICT r5 task 6 — the gu
+    # tangent metrics UD/SD/DD/RD get the same window-SQL recomputation
+    # oracle as the trs extractor); grid_scaffold_join rotates out — its J4
+    # scaffold join is the identical CTE shape inside fill_linear_daily
+    # (both 4466 rows at sf0.01) and runs inside fill_spline_structural /
+    # fill_spline_series as well.
     "cut_cycles_structural", "fill_spline_structural",
     "savgol_quartic_residual", "whittaker_sine_recon",
     "fit_curves_invariant", "extract_pheno_structural",
+    "extract_pheno_gu_structural",
     "smooth_savgol_series", "fill_spline_series", "fit_curves_long",
     "aggregate_pheno_windows", "assign_season_topk", "detect_forages_flags",
     # composites folding the §2 micro-families into the window
@@ -918,6 +925,6 @@ _PRIORITY = [
     # clamp_extrapolation).
     "filter_project", "best_agg", "global_rescale", "per_group_norm",
     "clamp_extrapolation", "topk_per_group",
-    "full_outer_restore", "grid_scaffold_join", "range_join_interval",
+    "full_outer_restore", "range_join_interval",
     "asof_nearest", "scl_decode", "piecewise_linear_combine",
 ]

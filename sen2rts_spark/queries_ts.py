@@ -917,6 +917,118 @@ def q_extract_pheno_structural(spark, sf_dir):
         F.col("peak").eqNullSafe(F.col("maxv")).alias("peak_ok"))
 
 
+@register("extract_pheno_gu_structural", _bump_cycles_sql(47, 3, """
+SELECT id, year, cycle,
+       TRUE AS ud_ok, TRUE AS sd_ok, TRUE AS dd_ok, TRUE AS rd_ok,
+       TRUE AS line_ok, TRUE AS rate_ok
+FROM base"""))
+def q_extract_pheno_gu_structural(spark, sf_dir):
+    """Gu-method pheno dates vs an independent window-SQL recomputation
+    (extract_pheno.R:166-181; Gu et al. 2009 — VERDICT r5 task 6).
+
+    ``extract_pheno(method='gu')`` runs the numpy kernel (tangent lines at
+    the peak recovery/senescence rates); this query recomputes UD/SD/DD/RD,
+    maxline/baseline and prr/psr from the gated ``fit_curves`` output with
+    Spark window SQL — an independent code path over the same fitted curve
+    — and emits equality booleans; the oracle pins the cycle keys and
+    all-TRUE. Exact-parity notes: prr/psr are max/min selections over
+    identical day-to-day diffs (exact doubles); nanargmax/min take the
+    FIRST occurrence → min(idx) among ties; the tangent-crossing floats
+    use the kernel's literal expressions so equality is bit-level; date
+    mapping is begin + (rint(v) - 1) (R/Python half-to-even round);
+    eqNullSafe treats both-undefined (prr <= 0 → kernel NaN date, SQL
+    NULL) as agreement.
+    """
+    from .operators.pheno_tools import fit_curves
+    from .operators.timeseries import cut_cycles, extract_pheno
+    ser = _bump_series(spark, sf_dir, 47, 3)
+    cycles = cut_cycles(ser)
+    fitted = fit_curves(ser, cycles, fit=("gu", "klosterman"))
+    ph = extract_pheno(ser, cycles, fit=("gu", "klosterman"), method="gu")
+
+    part = ["id", "year", "cycle"]
+    w = Window.partitionBy(*part).orderBy("date")
+    wp = Window.partitionBy(*part)
+    x = fitted.select(
+        *part, "value_fitted", "date",
+        F.row_number().over(w).alias("idx"),
+        F.max("value_fitted").over(wp).alias("maxv"),
+        F.min("value_fitted").over(wp).alias("minv"),
+        (F.col("value_fitted") - F.lag("value_fitted").over(w)).alias("xd"))
+    x = x.withColumn(
+        "pop_i",
+        F.expr("percentile(CASE WHEN value_fitted = maxv THEN idx END, 0.5)")
+        .over(wp).cast("int"))
+    rise = F.when(F.col("idx") <= F.col("pop_i"), F.col("xd"))
+    fall = F.when(F.col("idx") >= F.col("pop_i"), F.col("xd"))
+    x = x.withColumn("prr", F.max(rise).over(wp)) \
+         .withColumn("psr", F.min(fall).over(wp))
+    x = x.withColumn(
+        "t_prr", F.min(F.when((F.col("xd") == F.col("prr"))
+                              & (F.col("idx") <= F.col("pop_i")),
+                              F.col("idx"))).over(wp)) \
+        .withColumn(
+        "t_psr", F.min(F.when((F.col("xd") == F.col("psr"))
+                              & (F.col("idx") >= F.col("pop_i")),
+                              F.col("idx"))).over(wp))
+    x = x.withColumn(
+        "x_prr", F.max(F.when(F.col("idx") == F.col("t_prr"),
+                              F.col("value_fitted"))).over(wp)) \
+        .withColumn(
+        "x_psr", F.max(F.when(F.col("idx") == F.col("t_psr"),
+                              F.col("value_fitted"))).over(wp))
+    rec = x.groupBy(*part).agg(
+        F.any_value("maxv").alias("maxv"), F.any_value("minv").alias("minv"),
+        F.any_value("prr").alias("prr"), F.any_value("psr").alias("psr"),
+        F.any_value("t_prr").alias("t_prr"),
+        F.any_value("t_psr").alias("t_psr"),
+        F.any_value("x_prr").alias("x_prr"),
+        F.any_value("x_psr").alias("x_psr"))
+    pos = F.col("prr") > 0
+    neg = F.col("psr") < 0
+    rec = rec.select(
+        *part,
+        F.when(pos, F.col("t_prr")
+               - (F.col("x_prr") - F.col("minv")) / F.col("prr")).alias("ud_i"),
+        F.when(pos, F.col("t_prr")
+               + (F.col("maxv") - F.col("x_prr")) / F.col("prr")).alias("sd_i"),
+        F.when(neg, F.col("t_psr")
+               + (F.col("maxv") - F.col("x_psr")) / F.col("psr")).alias("dd_i"),
+        F.when(neg, F.col("t_psr")
+               + (F.col("minv") - F.col("x_psr")) / F.col("psr")).alias("rd_i"),
+        "maxv", "minv", "prr", "psr")
+
+    # the kernel's prr/psr are day-to-day diffs of the RELVAL-scale curve
+    # (raw_metrics are not rescaled, extract_pheno.R:173); the SQL twin
+    # diffs the rescaled output, so kernel*gr vs SQL agree only up to float
+    # reassociation ((g0+p_i*gr)-(g0+p_{i-1}*gr) vs (p_i-p_{i-1})*gr) —
+    # compare at 1e-9 relative tolerance instead of bit-level
+    stats = ser.agg(
+        (F.max("value") - F.min("value")).alias("_gr"))
+    j = ph.join(rec, part).crossJoin(F.broadcast(stats))
+    didx = lambda c: F.datediff(F.col(c), F.col("begin")) + 1  # noqa: E731
+    rint_i = lambda c: F.expr(f"rint({c})").cast("int")  # noqa: E731
+
+    def rate_eq(kernel_col, sql_col):
+        # kernel encodes "undefined" as NaN, the SQL twin as NULL; Spark's
+        # NaN comparison semantics make `close` false whenever exactly one
+        # side is defined
+        a, b = kernel_col * F.col("_gr"), sql_col
+        close = F.abs(a - b) <= 1e-9 * F.greatest(F.abs(a), F.abs(b))
+        return F.when(sql_col.isNull(), F.isnan(kernel_col)).otherwise(close)
+
+    return j.select(
+        *part,
+        didx("UD").eqNullSafe(rint_i("ud_i")).alias("ud_ok"),
+        didx("SD").eqNullSafe(rint_i("sd_i")).alias("sd_ok"),
+        didx("DD").eqNullSafe(rint_i("dd_i")).alias("dd_ok"),
+        didx("RD").eqNullSafe(rint_i("rd_i")).alias("rd_ok"),
+        (F.col("maxline").eqNullSafe(F.col("maxv"))
+         & F.col("baseline").eqNullSafe(F.col("minv"))).alias("line_ok"),
+        (rate_eq(ph.prr, rec.prr)
+         & rate_eq(ph.psr, rec.psr)).alias("rate_ok"))
+
+
 @register("savgol_poly_structural", """
 WITH ids AS (SELECT DISTINCT user_id AS uid FROM events),
 grid AS (SELECT uid, k FROM ids, (SELECT UNNEST(generate_series(0, 149)) AS k))
