@@ -100,9 +100,16 @@ for line in sys.stdin:
     c1 = cpu_snap()
     d = [y - x for x, y in zip(c0, c1)]
     steal = d[7] / max(sum(d), 1)
+    # host-wide busy CPUs during the rep (everything minus idle+iowait,
+    # scaled to the core count): ambient load from OTHER processes is
+    # invisible to cal probes (taken between bursts) and to steal, but it
+    # inflates busy_cpus far past this child's own width — the parent
+    # rejects pairs whose reps ran against such contention
+    busy = (sum(d) - d[3] - d[4]) / max(sum(d), 1) * os.cpu_count()
     print(json.dumps({"cores": cores, "sec": dt, "points": int(n),
                       "pps": n / dt, "steal_pct": round(100 * steal, 1),
                       "cal_sec": round(cal, 3),
+                      "busy_cpus": round(busy, 1),
                       "t_end": time.time()}), flush=True)
 spark.stop()
 """
@@ -260,14 +267,26 @@ def main():
                 # pair 2: clean brackets, wide rep at 6.7% steal -> 0.495)
                 steal_cap = float(os.environ.get(
                     "SPARK_GRAFT_SCALING_STEAL_CAP", "2.0"))
-                ok = drift < 0.10 and sh["steal_pct"] < steal_cap
+                # ambient-load cap (run r6a pair 1: clean cal/steal/drift,
+                # wide rep at half speed — builder processes were running;
+                # busy_cpus during a rep must stay near the child's own
+                # width or the pair measured contention, not the engine)
+                busy_slack = float(os.environ.get(
+                    "SPARK_GRAFT_SCALING_BUSY_SLACK", "6"))
+                amb_ok = all(
+                    r.get("busy_cpus", 0) <= r["cores"] + busy_slack
+                    for r in (s1, sh, s2))
+                ok = drift < 0.10 and sh["steal_pct"] < steal_cap and amb_ok
+                why = ("OK" if ok else
+                       "REJECT (ambient load)" if not amb_ok else
+                       "REJECT (phase moved mid-pair)")
                 print(f"pair {npair} local[{lo}]: {s1['sec']:.1f}s/"
                       f"{s2['sec']:.1f}s ({drift * 100:.1f}% drift) "
                       f"local[{hi}]: {sh['sec']:.1f}s "
                       f"{sh['pps'] / 1000:.0f}k pts/s "
-                      f"steal {sh['steal_pct']}% -> "
-                      f"{'OK' if ok else 'REJECT (phase moved mid-pair)'}",
-                      flush=True)
+                      f"steal {sh['steal_pct']}% "
+                      f"busy {[r.get('busy_cpus') for r in (s1, sh, s2)]} "
+                      f"-> {why}", flush=True)
                 probe_log.append({
                     "t": round(time.time() - t_start, 1), "sandwich": npair,
                     "lo_reps": [s1, s2], "hi_rep": sh,

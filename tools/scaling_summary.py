@@ -69,7 +69,11 @@ def main():
             s1, s2 = pr["lo_reps"]
             sh = pr["hi_rep"]
             ratio = sh["cores"] // s1["cores"]
-            if pr["drift_pct"] < 10.0 and sh["steal_pct"] < 2.0:
+            # ambient-load cap applies where the reps recorded busy_cpus
+            # (runs before r6 predate the instrument and pass vacuously)
+            busy_ok = all(r.get("busy_cpus", 0) <= r["cores"] + 6
+                          for r in (s1, s2, sh))
+            if pr["drift_pct"] < 10.0 and sh["steal_pct"] < 2.0 and busy_ok:
                 eff = sh["pps"] / ((s1["pps"] + s2["pps"]) / 2) / ratio
                 current_gate.setdefault(
                     f"{s1['cores']}->{sh['cores']}", []).append(round(eff, 3))
