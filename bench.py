@@ -192,12 +192,13 @@ BENCH_QUERIES = [
     "quality_score",
 ]
 
-# round-5 additions, timed OUTSIDE the cross-round total (like tier_read)
+# round-5/6 additions, timed OUTSIDE the cross-round total (like tier_read)
 # so BENCH_r{N} totals stay comparable across rounds
 EXTRA_QUERIES = [
     "ann_ivf_topk",
     "ann_multiprobe",
     "rollup_distinct_sketch",
+    "ann_production_recall",
 ]
 
 
