@@ -73,8 +73,12 @@ def _wait_quiet(gate: dict, label: str) -> None:
     if deadline <= time.time():
         gate["sections"].append({"label": label, "skipped": "no budget"})
         return
-    cal_max = float(os.environ.get("SPARK_GRAFT_QUIET_CAL_MAX", "0.55"))
-    steal_max = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL_MAX", "0.5"))
+    # r6's quiet-gated preview (BENCH/BENCH_r6_preview.json) showed the
+    # healthy-host rates are cal ~0.2 s / steal ~0.05 %; gate at those so
+    # the official artifact records the code's speed, not a host phase
+    # (VERDICT r6 task 2). Deadline still bounds the wait.
+    cal_max = float(os.environ.get("SPARK_GRAFT_QUIET_CAL_MAX", "0.30"))
+    steal_max = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL_MAX", "0.4"))
     poll = float(os.environ.get("SPARK_GRAFT_QUIET_POLL", "15"))
     sec = {"label": label, "probes": [], "accepted": None}
     gate["sections"].append(sec)
@@ -277,9 +281,12 @@ def main() -> None:
     def _best_health():
         return roll_health[roll_secs.index(min(roll_secs))]
 
+    # acceptance mirrors the quiet-gate thresholds (r6's official artifact
+    # accepted a 4.4%-steal rep while the same binary did 730 k pts/s in a
+    # quiet window — the headline must be the quiet number or flagged)
     extras = 0
-    while extras < 3 and (_best_health()["steal_pct"] > 1.5
-                          or _best_health()["cal_sec"] > 0.65):
+    while extras < 4 and (_best_health()["steal_pct"] > 0.5
+                          or _best_health()["cal_sec"] > 0.30):
         _wait_quiet(gate, f"rollup_extra_{extras + 1}")
         _roll_rep()
         extras += 1

@@ -24,6 +24,12 @@ __all__ = ["gorilla_encode", "gorilla_encode_multi", "gorilla_decode",
 
 _MAGIC = b"GTS1"
 
+# gorilla_decode_multi's lockstep walk iterates once per token of the
+# longest blob in a batch; above this point count a blob decodes faster
+# through the run-batched per-blob path (tier blobs are <= ~366 points,
+# so the multi path stays lockstep in the supported pipeline).
+_MULTI_MAX_POINTS = 8192
+
 
 class _BitWriter:
     """Accumulates bits MSB-first, flushing whole bytes to a bytearray.
@@ -772,6 +778,15 @@ def gorilla_decode_multi(data: np.ndarray, offsets: np.ndarray):
     are ``ts[base[g]:base[g]+counts[g]]`` with ``base = cumsum(counts) -
     counts``. Policy-agnostic like gorilla_decode (follows the control
     bits), so it accepts blobs from any of this module's encoder paths.
+
+    The lockstep walks run one Python iteration per token of the LONGEST
+    blob, so a single huge blob in a batch of tiny ones would degenerate
+    to per-token dispatch on a near-empty active set; blobs above
+    ``_MULTI_MAX_POINTS`` are therefore routed to the run-batched
+    per-blob ``gorilla_decode`` fast path and merged back in blob order
+    (ADVICE r6). Stream bounds are verified per blob: a corrupt header
+    count that would walk past its blob's bytes raises instead of
+    silently decoding the neighbour's bits.
     """
     offsets = np.asarray(offsets, dtype=np.int64)
     G = len(offsets) - 1
@@ -807,8 +822,16 @@ def gorilla_decode_multi(data: np.ndarray, offsets: np.ndarray):
     ts[base[one]] = t0[one]
     vb[base[one]] = v0[one]
 
-    act0 = np.flatnonzero(counts >= 2)   # blobs with a token stream
+    # huge blobs: per-blob fast path (see docstring), merged in blob order
+    for g in np.flatnonzero(counts > _MULTI_MAX_POINTS):
+        tg, vg = gorilla_decode(data[offsets[g]:offsets[g + 1]].tobytes())
+        ts[base[g]:base[g] + counts[g]] = tg
+        vb[base[g]:base[g] + counts[g]] = vg.view(np.uint64)
+
+    act0 = np.flatnonzero((counts >= 2)   # blobs with a token stream
+                          & (counts <= _MULTI_MAX_POINTS))
     A = len(act0)
+    endbit = offsets[act0 + 1] << 3       # exclusive bit bound per blob
     vstart = np.zeros(A, dtype=np.int64)  # value-stream start per act0 blob
 
     # ---- lockstep timestamp walk (delta-of-delta classes) ----
@@ -848,6 +871,9 @@ def gorilla_decode_multi(data: np.ndarray, offsets: np.ndarray):
         rem -= 1
         done = rem == 0
         if done.any():
+            if (pos[done] > endbit[slot[done]]).any():
+                raise ValueError("gorilla timestamp stream overruns its "
+                                 "blob (corrupt header count)")
             vstart[slot[done]] = pos[done]
             keep = ~done
             slot, pos, t = slot[keep], pos[keep], t[keep]
@@ -884,6 +910,10 @@ def gorilla_decode_multi(data: np.ndarray, offsets: np.ndarray):
         rem -= 1
         keep = rem > 0
         if not keep.all():
+            fin = ~keep
+            if (pos[fin] > endbit[slot[fin]]).any():
+                raise ValueError("gorilla value stream overruns its blob "
+                                 "(corrupt header count)")
             slot, pos, prev = slot[keep], pos[keep], prev[keep]
             lead, mean = lead[keep], mean[keep]
             outp, rem = outp[keep], rem[keep]

@@ -21,12 +21,16 @@ __all__ = ["st_poi"]
 
 def st_poi(df: DataFrame, wkt_col: str = "geometry",
            precision: float | None = None,
-           stats: dict | None = None) -> DataFrame:
+           stats: dict | None = None,
+           allow_job: bool = False) -> DataFrame:
     """df + POLYGON wkt column → df + (poi_x, poi_y, poi_dist).
 
     ``precision=None`` reproduces the reference default: mean(sqrt(area))/1e3
-    over the whole input (one extra agg job). Two ways to skip that driver
-    action (VERDICT r3 task 9 — callers in loops should never pay it):
+    over the whole input (one extra agg job) — because that runs a Spark job
+    at PLAN time, it must be opted into with ``allow_job=True`` (VERDICT r6
+    task 8: keeps the no-driver-action invariant checkable for this module
+    too). Two ways to skip the job entirely
+    (VERDICT r3 task 9 — callers in loops should never pay it):
 
     - pass an explicit ``precision`` (recommended with known units), or
     - pass ``stats={"mean_sqrt_area": m}`` from previously committed table
@@ -48,13 +52,20 @@ def st_poi(df: DataFrame, wkt_col: str = "geometry",
         if m:
             precision = float(m) / 1e3
     if precision is None:
+        if not allow_job:
+            raise ValueError(
+                "st_poi(precision=None) without stats= runs a Spark job at "
+                "plan time to probe mean polygon area; pass an explicit "
+                "precision, stats={'mean_sqrt_area': m}, or allow_job=True "
+                "to accept the extra job (reference default, st_poi.R:25-27)")
+
         def _area(batches):
             for pdf in batches:
                 yield pd.DataFrame({
                     "a": [polygon_area(parse_wkt_polygon(w))
                           for w in pdf[wkt_col]]})
         areas = df.select(wkt_col).mapInPandas(_area, schema="a double")
-        m = areas.agg(F.avg(F.sqrt("a"))).first()[0]
+        m = areas.agg(F.avg(F.sqrt("a"))).first()[0]  # plan-guard: allow_job
         precision = (float(m) / 1e3) if m else 1e-9
 
     prec = float(precision)

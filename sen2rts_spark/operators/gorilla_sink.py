@@ -31,6 +31,13 @@ def encode_blobs(tier_df: DataFrame, tier: str, chunk_days: int = 366,
     mapInPandas pass walks group runs on raw numpy arrays — no per-group
     pandas objects, one Arrow batch out per batch in (the applyInPandas
     per-group dispatch was ~15x slower at 3000 series, see operators/grouped.py).
+
+    Contract: ``value`` must be non-NaN — the write job fails loudly on NaN
+    (since r6) because NaN silently diverges the ``decode_blobs_agg``
+    aggregate pushdown (numpy reductions propagate NaN) from the
+    decode+groupBy plan (Spark orders NaN largest). Rollup tiers are
+    count>0 means over raw observations, so NaN never occurs in the
+    supported pipeline; callers feeding arbitrary series must filter first.
     """
     chunk_secs = chunk_days * 86400
     with_chunk = tier_df.withColumn(
@@ -127,8 +134,19 @@ def _blob_buffers(batch):
     col = batch.column(batch.schema.get_field_index("blob"))
     if col.null_count:
         raise ValueError("null blob in sink table")
+    # offset width differs by Arrow type: binary = int32, large_binary =
+    # int64 (e.g. spark.sql.execution.arrow.useLargeVarTypes=true).
+    # Misreading the width garbles every offset and would surface later as
+    # a misleading "bad gorilla magic" error — resolve it from the type.
+    if pa.types.is_binary(col.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_binary(col.type):
+        off_dtype = np.int64
+    else:
+        raise TypeError(f"blob column must be binary/large_binary, "
+                        f"got {col.type}")
     bufs = col.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)[
+    offs = np.frombuffer(bufs[1], dtype=off_dtype).astype(np.int64)[
         col.offset: col.offset + len(col) + 1]
     dat = np.frombuffer(bufs[2], dtype=np.uint8)
     return dat[offs[0]:offs[-1]], offs - offs[0]

@@ -61,6 +61,15 @@ def get_spark(app: str = "sen2rts_spark", cores: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Pin BLAS to one thread per Python worker: this host's OpenBLAS
+    # (MAX_THREADS=2, spin-wait) makes a 200x200 LAPACK solve take 300 ms
+    # instead of 0.9 ms under contention, and N workers x 2 spinning BLAS
+    # threads oversubscribes every core. Set on the driver env BEFORE the
+    # JVM forks Python workers so they inherit it; parallelism belongs to
+    # Spark's task scheduler, not the math library.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         # 3 tasks per core (the standard Spark sizing guidance): finer
         # granularity lets the scheduler route around stalled/stolen cores —
@@ -83,6 +92,10 @@ def get_spark(app: str = "sen2rts_spark", cores: int | None = None,
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        # same BLAS pinning for real-cluster executors (local mode inherits
+        # the driver env; executorEnv covers the distributed deployment)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
     # shuffle + python-worker temp on tmpfs: the sandbox's /tmp is a virtio
     # disk whose sync storms showed up as 40-60% sys time at local[32]

@@ -191,3 +191,40 @@ def test_decode_multi_rejects_bad_magic():
     blob[0] ^= 0xFF
     with pytest.raises(ValueError, match="magic"):
         _decode_multi_blobs([bytes(blob)])
+
+
+def test_decode_multi_routes_huge_blob_to_fast_path():
+    """A blob above _MULTI_MAX_POINTS in a batch of tiny blobs must decode
+    bit-exact via the per-blob route and merge back in blob order
+    (ADVICE r6: avoids a near-empty lockstep active set degenerating to
+    per-token dispatch)."""
+    from sen2rts_spark.kernels.gorilla import _MULTI_MAX_POINTS
+    rng = np.random.default_rng(11)
+    nbig = _MULTI_MAX_POINTS + 500
+    series = [
+        (np.cumsum(rng.integers(1, 100, 40)), rng.normal(0, 1, 40)),
+        (np.cumsum(rng.integers(1, 100, nbig)), rng.normal(0, 1, nbig)),
+        (np.cumsum(rng.integers(1, 100, 25)), rng.normal(0, 1, 25)),
+    ]
+    series = [(np.asarray(t, np.int64), np.asarray(v, np.float64))
+              for t, v in series]
+    blobs = [gorilla_encode(t, v) for t, v in series]
+    counts, dts, dvals = _decode_multi_blobs(blobs)
+    bases = np.cumsum(counts) - counts
+    for g, (ts, vals) in enumerate(series):
+        sl = slice(bases[g], bases[g] + counts[g])
+        assert counts[g] == len(ts)
+        assert np.array_equal(dts[sl], ts)
+        assert np.array_equal(dvals[sl].view(np.uint64), vals.view(np.uint64))
+
+
+def test_decode_multi_rejects_overrun_count():
+    """A corrupt header count that would walk past the blob's bytes must
+    raise, not silently read the next blob's bits (ADVICE r6)."""
+    import pytest
+    good = gorilla_encode(np.arange(6, dtype=np.int64) * 7,
+                          np.array([1.0, 2.0, 1.5, 1.5, 3.0, 2.5]))
+    bad = bytearray(good)
+    bad[4:8] = (60).to_bytes(4, "big")   # claim 60 points, stream has 6
+    with pytest.raises(ValueError, match="overrun"):
+        _decode_multi_blobs([bytes(bad), good])

@@ -56,14 +56,17 @@ def test_no_driver_actions_in_query_builders():
     import inspect
 
     from sen2rts_spark import queries, queries_docs, queries_ts
-    from sen2rts_spark.operators import (extract, gorilla_sink, grouped,
+    from sen2rts_spark.operators import (extract, geo, gorilla_sink, grouped,
                                          pheno_tools, rollup, skew,
                                          timeseries)
 
     bad = []
-    for mod in (queries, queries_docs, queries_ts, extract, gorilla_sink,
-                grouped, pheno_tools, rollup, skew, timeseries):
-        tree = ast.parse(inspect.getsource(mod))
+    for mod in (queries, queries_docs, queries_ts, extract, geo,
+                gorilla_sink, grouped, pheno_tools, rollup, skew,
+                timeseries):
+        src = inspect.getsource(mod)
+        lines = src.splitlines()
+        tree = ast.parse(src)
         for node in ast.walk(tree):
             if (isinstance(node, ast.Call)
                     and isinstance(node.func, ast.Attribute)
@@ -71,6 +74,10 @@ def test_no_driver_actions_in_query_builders():
                     and not node.args and not node.keywords
                     and not (isinstance(node.func.value, ast.Name)
                              and node.func.value.id == "F")):
+                # explicit opt-in escape hatch: the action sits behind a
+                # raise-unless-allow_job gate and is marked on its line
+                if "# plan-guard: allow_job" in lines[node.lineno - 1]:
+                    continue
                 bad.append(f"{mod.__name__}:{node.lineno} "
                            f".{node.func.attr}()")
     assert not bad, f"driver actions in query/operator modules: {bad}"

@@ -61,13 +61,18 @@ def test_st_poi_operator(spark):
         [("a", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
          ("b", "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")],
         "pid string, geometry string")
-    out = {r["pid"]: r for r in st_poi(df, "geometry").collect()}
+    out = {r["pid"]: r for r in
+           st_poi(df, "geometry", allow_job=True).collect()}
     assert abs(out["a"]["poi_x"] - 2) < 0.05
     assert abs(out["a"]["poi_y"] - 2) < 0.05
     assert out["b"]["poi_dist"] > 0.9
     # explicit precision skips the dataset-mean agg job
     out2 = st_poi(df, "geometry", precision=1e-3).collect()
     assert len(out2) == 2
+    # default precision without opt-in must refuse to run a plan-time job
+    import pytest
+    with pytest.raises(ValueError, match="allow_job"):
+        st_poi(df, "geometry")
 
 
 def test_st_poi_stats_precision_no_probe(spark):
@@ -80,7 +85,8 @@ def test_st_poi_stats_precision_no_probe(spark):
          ("b", "POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")],
         "pid string, geometry string")
     m = (np.sqrt(16.0) + np.sqrt(20.0)) / 2.0  # mean sqrt(area) by hand
-    probe = {r["pid"]: r for r in st_poi(df, "geometry").collect()}
+    probe = {r["pid"]: r for r in
+             st_poi(df, "geometry", allow_job=True).collect()}
     stats = {r["pid"]: r for r in
              st_poi(df, "geometry", stats={"mean_sqrt_area": m}).collect()}
     for pid in ("a", "b"):

@@ -22,6 +22,42 @@ def test_whittaker_reproduces_eilers_system():
     assert np.sum(np.diff(z, 2) ** 2) < np.sum(np.diff(y, 2) ** 2)
 
 
+def test_whittaker_substructured_matches_scalar():
+    """The vectorized substructured solver (n >= 256 path) must agree with
+    the scalar banded Cholesky to 1e-9 across sizes, lambdas, and sparse
+    weight patterns (VERDICT r6 task 3)."""
+    from sen2rts_spark.kernels.whittaker import (
+        _build_banded, _cholesky_banded_solve, _substructured_solve)
+    rng = np.random.default_rng(7)
+    for n in (256, 300, 999, 2000, 10007):
+        y = np.sin(np.arange(n) / 17.0) + rng.normal(0, 0.1, n)
+        w = rng.uniform(0.1, 1, n)
+        w[rng.random(n) < 0.2] = 0.0
+        for lam in (5.0, 100.0, 5000.0):
+            ab = _build_banded(w, lam)
+            xs = _substructured_solve(ab, w * y)
+            xc = _cholesky_banded_solve(ab, w * y)
+            np.testing.assert_allclose(xs, xc, atol=1e-9)
+
+
+def test_whittaker_large_series_vs_dense():
+    """End-to-end whittaker_smooth at n=1500 (substructured path) against
+    the dense normal-equation solve."""
+    from sen2rts_spark.kernels.whittaker import whittaker_smooth
+    rng = np.random.default_rng(3)
+    n = 1500
+    y = np.cos(np.arange(n) / 40.0) + rng.normal(0, 0.05, n)
+    w = np.ones(n)
+    w[rng.random(n) < 0.1] = 0.0
+    lam = 200.0
+    z = whittaker_smooth(y, w, lam)
+    D = np.diff(np.eye(n), 2, axis=0)
+    yy = y.copy()
+    A = np.diag(w) + lam * D.T @ D
+    z_dense = np.linalg.solve(A, w * yy)
+    np.testing.assert_allclose(z, z_dense, atol=1e-9)
+
+
 def test_whittaker_missing_and_constant():
     from sen2rts_spark.kernels.whittaker import whittaker_smooth
     y = np.full(50, 0.7)
