@@ -463,18 +463,62 @@ def q_fill_spline_series(spark, sf_dir):
                (F.col("value") >= lo) & (F.col("value") <= hi)).alias("inb"))
 
 
-@register("cut_cycles_series")
+@register("cut_cycles_series", """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS id,
+       TRUE AS has_cycles, TRUE AS ord_ok, TRUE AS year_ok,
+       TRUE AS num_ok, TRUE AS span_ok, TRUE AS weight_ok
+FROM events
+""")
 def q_cut_cycles_series(spark, sf_dir):
-    """W2/W3/W8-W10 + §3.3: cycle segmentation — rows-only."""
+    """W2/W3/W8-W10 + §3.3: cycle segmentation on the REAL daily series,
+    invariant oracle (VERDICT r6 task 5 — the same contracts the synthetic
+    ``cut_cycles_structural`` row verifies value-for-value, recomputed on
+    real data where the spline-filled input is not SQL-expressible):
+
+    - has_cycles: every user's filled daily series yields >= 1 cycle (a
+      fixed, deterministic fact of the fixture data, pinned per id);
+    - ord_ok: cuts alternate with peaks — begin < end, begin <= maxval
+      (peak date) <= end, and consecutive cycles never overlap
+      (cut_cycles.R:306-347 assembly);
+    - year_ok: year equals EXTRACT(year FROM maxval) — the maxval-date
+      year rule (cut_cycles.R:320);
+    - num_ok: cycle numbering is 1..n per (id, year) ordered by begin;
+    - span_ok: begin/end lie inside the OBSERVED daily span per id
+      (genuine input cross-check — the filled grid never extends past the
+      observed extremes, fill_s2ts.R:40-144);
+    - weight_ok: every cycle weight (relval integral) is >= 0.
+    A violated contract flips a boolean → hash mismatch; an id producing
+    zero cycles drops its row → row-count mismatch.
+    """
     from .operators.timeseries import cut_cycles, fill
-    e = load(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
-                      F.to_date("ts").alias("date")) \
-        .agg(F.avg("value").alias("value"))
+    daily = _daily_avg(spark, sf_dir)
     sm = daily.select("id", "date", F.lit("000").alias("orbit"),
                       F.lit("2A").alias("sensor"), "value",
                       F.lit(1.0).alias("qa"), F.col("value").alias("rawval"))
-    return cut_cycles(fill(sm))
+    cyc = cut_cycles(fill(sm))
+    wc = Window.partitionBy("id").orderBy("begin")
+    wyc = Window.partitionBy("id", "year").orderBy("begin")
+    flags = cyc.select(
+        "id",
+        ((F.col("begin") < F.col("end"))
+         & (F.col("begin") <= F.col("maxval"))
+         & (F.col("maxval") <= F.col("end"))
+         & (F.lag("end").over(wc).isNull()
+            | (F.lag("end").over(wc) <= F.col("begin")))).alias("ord_ok"),
+        (F.col("year") == F.year("maxval")).alias("year_ok"),
+        (F.col("cycle") == F.row_number().over(wyc)).alias("num_ok"),
+        F.col("begin").alias("begin"), F.col("end").alias("end"),
+        (F.col("weight") >= 0).alias("weight_ok"))
+    span = daily.groupBy("id").agg(F.min("date").alias("dmin"),
+                                   F.max("date").alias("dmax"))
+    return flags.join(F.broadcast(span), "id").groupBy("id").agg(
+        (F.count(F.lit(1)) >= 1).alias("has_cycles"),
+        F.bool_and("ord_ok").alias("ord_ok"),
+        F.bool_and("year_ok").alias("year_ok"),
+        F.bool_and("num_ok").alias("num_ok"),
+        F.bool_and((F.col("begin") >= F.col("dmin"))
+                   & (F.col("end") <= F.col("dmax"))).alias("span_ok"),
+        F.bool_and("weight_ok").alias("weight_ok"))
 
 
 # Structural oracle for the cycle detector (W2/W3 + assembly + year/weight/
@@ -1478,19 +1522,79 @@ def q_extract_pheno_klosterman(spark, sf_dir):
                       "Greenup", "Maturity", "Senescence", "Dormancy")
 
 
-@register("smooth_whittaker_series")
+@register("smooth_whittaker_series", """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id, CAST(ts AS DATE) AS date,
+         AVG(value) AS v
+  FROM events GROUP BY 1, 2),
+rel AS (
+  SELECT id, date, v,
+         CASE WHEN MAX(v) OVER (PARTITION BY id) > MIN(v) OVER (PARTITION BY id)
+              THEN (v - MIN(v) OVER (PARTITION BY id))
+                   / (MAX(v) OVER (PARTITION BY id)
+                      - MIN(v) OVER (PARTITION BY id))
+              ELSE 0.0 END AS relval
+  FROM daily),
+spk AS (
+  SELECT id, date, v,
+         LAG(relval, 2) OVER w IS NOT NULL
+         AND LEAD(relval, 2) OVER w IS NOT NULL
+         AND GREATEST(LAG(relval, 1) OVER w, LAG(relval, 2) OVER w)
+             - relval > 0.25
+         AND GREATEST(LEAD(relval, 1) OVER w, LEAD(relval, 2) OVER w)
+             - relval > 0.25 AS is_spike
+  FROM rel WINDOW w AS (PARTITION BY id ORDER BY date))
+SELECT id, date, ROUND(v, 6) AS rawval_r, is_spike AS smooth_null,
+       CASE WHEN NOT is_spike THEN TRUE END AS inb
+FROM spk
+""")
 def q_smooth_whittaker_series(spark, sf_dir):
-    """North-rule Whittaker smoother over the daily event series — rows-only
-    (banded-Cholesky solve not SQL-expressible)."""
+    """North-rule Whittaker smoother on the REAL daily event series,
+    invariant oracle (VERDICT r6 task 5 — same contract as
+    ``smooth_savgol_series``; the spike-removal, restore and clamp stages
+    of ``smooth()`` are filter-independent, smooth_s2ts.R:60-239):
+
+    - row restore: output (id, date) set equals the input daily set;
+    - rawval passthrough: round(rawval, 6) equals the daily mean;
+    - smooth_null: with qa=1 exactly the spike-removed rows are null —
+      spike placement recomputed in window SQL (noise_dir='low',
+      spike=0.25, window 5);
+    - inb: surviving smoothed values obey the C4 clamp envelope
+      [omin - 0.1r, omax + 0.1r] over post-spike observations, ±1e-9.
+    The Whittaker solve itself is value-tested by the golden non-identity
+    ``whittaker_sine_recon`` row and the 1e-9 dense-solve property tests.
+    """
     from .operators.timeseries import smooth
-    e = load(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("user_id").cast("string").alias("id"),
-                      F.to_date("ts").alias("date")) \
-        .agg(F.avg("value").alias("value"), F.lit(1.0).alias("qa"),
-             F.lit("000").alias("orbit"), F.lit("2A").alias("sensor")) \
-        .select("id", "date", "orbit", "sensor", "value", "qa")
-    out = smooth(daily, min_qa=0.0, filter_type="whittaker",
+    daily = _daily_avg(spark, sf_dir)
+    obs = daily.select("id", "date", F.lit("000").alias("orbit"),
+                       F.lit("2A").alias("sensor"), "value",
+                       F.lit(1.0).alias("qa"))
+    out = smooth(obs, min_qa=0.0, filter_type="whittaker",
                  whittaker_lambda=25.0)
-    return out.select("id", "date",
-                      F.round("value", 6).alias("smoothed"),
-                      F.round("rawval", 6).alias("rawval"))
+
+    wid = Window.partitionBy("id")
+    w = Window.partitionBy("id").orderBy("date")
+    vmin, vmax = F.min("value").over(wid), F.max("value").over(wid)
+    rel = daily.withColumn(
+        "relval", F.when(vmax > vmin,
+                         (F.col("value") - vmin) / (vmax - vmin))
+                   .otherwise(F.lit(0.0)))
+    spike = (F.lag("relval", 2).over(w).isNotNull()
+             & F.lead("relval", 2).over(w).isNotNull()
+             & (F.greatest(F.lag("relval", 1).over(w),
+                           F.lag("relval", 2).over(w))
+                - F.col("relval") > 0.25)
+             & (F.greatest(F.lead("relval", 1).over(w),
+                           F.lead("relval", 2).over(w))
+                - F.col("relval") > 0.25))
+    bounds = rel.withColumn("is_spike", spike).filter(~F.col("is_spike")) \
+        .groupBy("id").agg(F.min("value").alias("omin"),
+                           F.max("value").alias("omax"))
+    lo = F.col("omin") - (F.col("omax") - F.col("omin")) * 0.1 - 1e-9
+    hi = F.col("omax") + (F.col("omax") - F.col("omin")) * 0.1 + 1e-9
+    return out.join(F.broadcast(bounds), "id").select(
+        "id", "date",
+        F.round("rawval", 6).alias("rawval_r"),
+        F.col("value").isNull().alias("smooth_null"),
+        F.when(F.col("value").isNotNull(),
+               (F.col("value") >= lo) & (F.col("value") <= hi)).alias("inb"))
