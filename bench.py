@@ -173,6 +173,29 @@ def bench_tier_read(spark, blobs_path: str) -> dict[str, float]:
             F.sum("n_points").alias("n"), F.sum("vsum").alias("s"),
             F.min("vmin").alias("mn"), F.max("vmax").alias("mx")).count()
     res["tier_read_agg_pushdown"] = round(time.time() - t0, 3)
+
+    # narrow-window read: min_ts/max_ts envelope pruning drops whole blobs
+    # before the decode (VERDICT r6 task 7). 31-day window into a ~1000-day
+    # store (366-day chunks -> ~1/3 of blobs survive); the naive plan
+    # decodes everything and filters points after.
+    span = blobs.agg(F.min("min_ts").alias("a")).first()
+    lo = F.lit(span["a"]) + F.expr("INTERVAL 400 DAYS")
+    hi = F.lit(span["a"]) + F.expr("INTERVAL 431 DAYS")
+    t0 = time.time()
+    decode_blobs(blobs.filter((F.col("max_ts") >= lo)
+                              & (F.col("min_ts") < hi))) \
+        .filter((F.col("bucket_start") >= lo)
+                & (F.col("bucket_start") < hi)) \
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("value").alias("s")).count()
+    res["tier_read_window_prune"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    decode_blobs(blobs) \
+        .filter((F.col("bucket_start") >= lo)
+                & (F.col("bucket_start") < hi)) \
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("value").alias("s")).count()
+    res["tier_read_window_naive"] = round(time.time() - t0, 3)
     return res
 
 

@@ -876,7 +876,13 @@ _PRIORITY = [
     # settings (16 bits, full hd<=2 = 137 probes) over planted near-dups,
     # with recall >= 0.9 pinned in the hash-gated output (VERDICT r5
     # task 5).
-    "ann_cosine_topk", "ann_ivf_topk", "ann_production_recall",
+    # r7: ann_ivf_topk (sampled centroids) rotates out for
+    # ann_ivf_lloyd_topk — the SAME assign/probe/topk plan plus the
+    # 2-iteration k-means refinement that closes the r6 quality gap
+    # (uniform recall 0.48->0.58 at nprobe 4; clustered-corpus recall 1.0 —
+    # BENCH/ANN_RECALL.json). The sampled variant stays in the tail +
+    # bench extras.
+    "ann_cosine_topk", "ann_ivf_lloyd_topk", "ann_production_recall",
     "label_centroid_distance",
     "media_feature_extract", "dedup_embedding_near",
     "repetition_ratio", "term_doc_freq",
@@ -888,9 +894,13 @@ _PRIORITY = [
     # rollup_weekly_retention rotated out (weekly bucketing + A1 rule
     # value-verified by rollup_tier_chain / rollup_incremental_late) for
     # rollup_distinct_sketch, the HLL sketch-tier cardinality path.
+    # r7: tier_read_window_prune rotates in — the min_ts/max_ts envelope
+    # prune before decode (VERDICT r6 task 7), value-gated against raw
+    # events over a 1-week window of weekly chunks.
     "rollup_tier_chain", "rollup_distinct_sketch",
     "gorilla_roundtrip_daily", "gorilla_tier_reagg", "fill_linear_daily",
     "rollup_incremental_late", "rollup_salted_hot_id",
+    "tier_read_window_prune",
     # per-series kernels — hash-level structural oracles: the REAL kernels
     # on characterized input classes vs pure-SQL recomputation.
     # savgol_poly_structural (identity fixed point) rotated out for
@@ -909,9 +919,17 @@ _PRIORITY = [
     # scaffold join is the identical CTE shape inside fill_linear_daily
     # (both 4466 rows at sf0.01) and runs inside fill_spline_structural /
     # fill_spline_series as well.
-    "cut_cycles_structural", "fill_spline_structural",
+    # r7 (VERDICT r6 task 5): the two remaining rows-only real-data forms
+    # rotate in with invariant oracles — cut_cycles_series (per-id cycle
+    # contracts vs raw events) and smooth_whittaker_series (the savgol
+    # row's restore/passthrough/spike/clamp contract, filter-independent).
+    # extract_pheno_structural (trs) rotates out: the window-SQL
+    # recomputation family stays gated via extract_pheno_gu_structural,
+    # and the trs metrics remain golden-fixture-tested in pytest.
+    "cut_cycles_structural", "cut_cycles_series", "fill_spline_structural",
     "savgol_quartic_residual", "whittaker_sine_recon",
-    "fit_curves_invariant", "extract_pheno_structural",
+    "smooth_whittaker_series",
+    "fit_curves_invariant",
     "extract_pheno_gu_structural",
     "smooth_savgol_series", "fill_spline_series", "fit_curves_long",
     "aggregate_pheno_windows", "assign_season_topk", "detect_forages_flags",
@@ -923,8 +941,12 @@ _PRIORITY = [
     # assign_season_topk), local_extrema (W2/W3 via cut_cycles_structural),
     # broadcast_dim_join (broadcast plan inside global_rescale /
     # clamp_extrapolation).
+    # r7 rotations out (families still value-verified in-window):
+    # topk_per_group (O2 ranking inside assign_season_topk; still a BENCH
+    # query), full_outer_restore (J3's restore contract is value-gated on
+    # real data by the row-restore term of smooth_savgol_series AND
+    # smooth_whittaker_series — VERDICT r6 J3 row).
     "filter_project", "best_agg", "global_rescale", "per_group_norm",
-    "clamp_extrapolation", "topk_per_group",
-    "full_outer_restore", "range_join_interval",
+    "clamp_extrapolation", "range_join_interval",
     "asof_nearest", "scl_decode", "piecewise_linear_combine",
 ]

@@ -676,6 +676,124 @@ def q_ann_ivf_topk(spark, sf_dir):
         .filter(F.col("rk") <= 5).select("qid", "vec_id", "sim")
 
 
+# One Lloyd/k-means assignment+update round as DuckDB CTEs (cN = input
+# centroid relation with (cell, ce); produces cN_out). Unrolled twice in
+# the ann_ivf_lloyd_topk oracle below — k-means is a fixed small number of
+# deterministic relational steps, so it IS SQL-expressible.
+def _LLOYD_SQL(cin: str, cout: str) -> str:
+    return f"""
+a_{cout} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND(list_dot_product(c.ce, e.embedding)
+                   / (sqrt(list_dot_product(c.ce, c.ce))
+                      * sqrt(list_dot_product(e.embedding, e.embedding))), 4)
+             DESC, c.cell) AS rk
+    FROM embeddings e, {cin} c) WHERE rk = 1),
+{cout} AS (
+  SELECT cell, list(ROUND(mv, 6) ORDER BY pos) AS ce FROM (
+    SELECT cell, pos, AVG(CAST(val AS DOUBLE)) AS mv FROM (
+      SELECT cell, UNNEST(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos FROM a_{cout})
+    GROUP BY cell, pos) GROUP BY cell)"""
+
+
+@register("ann_ivf_lloyd_topk", """
+WITH c0 AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings
+            WHERE vec_id < 16),""" + _LLOYD_SQL("c0", "c1") + ","
+            + _LLOYD_SQL("c1", "c2") + """,
+assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             ROUND(list_dot_product(c.ce, e.embedding)
+                   / (sqrt(list_dot_product(c.ce, c.ce))
+                      * sqrt(list_dot_product(e.embedding, e.embedding))), 4)
+             DESC, c.cell) AS rk
+    FROM embeddings e, c2 c) WHERE rk = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+qprobe AS (
+  SELECT qid, qe, cell FROM (
+    SELECT q.qid, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             ROUND(list_dot_product(q.qe, c.ce)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(c.ce, c.ce))), 4) DESC,
+             c.cell) AS rk
+    FROM q, c2 c) WHERE rk <= 4),
+sims AS (
+  SELECT p.qid, a.vec_id,
+         ROUND(list_dot_product(p.qe, a.embedding)
+               / (sqrt(list_dot_product(p.qe, p.qe))
+                  * sqrt(list_dot_product(a.embedding, a.embedding))), 4) AS sim
+  FROM qprobe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid)
+SELECT qid, vec_id, sim FROM (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM sims) WHERE rk <= 5
+""")
+def q_ann_ivf_lloyd_topk(spark, sf_dir):
+    """IVF-flat ANN with a Lloyd-refined coarse quantizer (VERDICT r6
+    task 4 — closes ann_ivf_topk's quality gap: sampled centroids give
+    0.31 uniform-vector recall at nprobe 2; refined centroids raise every
+    operating point, and on genuinely clustered corpora reach recall 1.0
+    at nprobe 2 — BENCH/ANN_RECALL.json).
+
+    Two k-means iterations, each pure DataFrame ops: assignment is the
+    broadcast-centroid argmax (identical shape to the query-time assign),
+    the update is posexplode → groupBy(cell, pos) avg → array_sort
+    re-assembly — 2 bounded shuffles per iteration of |V|·d rows, the
+    canonical distributed-k-means plan. Centroid components round to 6dp
+    each iteration so both engines' float summation agrees; cosines round
+    to 4dp with cell-id tie-break, as everywhere in the ANN family. At
+    100 TB the quantizer trains on a SAMPLE (e.g. TABLESAMPLE or
+    vec_id % s = 0 — still one broadcast per iteration); the full-table
+    training here keeps the gate oracle-exact. Probe fan-out nprobe=4."""
+    e = load(spark, sf_dir, "embeddings")
+    csim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qe"))
+    for _ in range(2):
+        asim = F.broadcast(cents).crossJoin(e) \
+            .select("vec_id", "embedding", "cell", csim.alias("csim"))
+        assign = asim.groupBy("vec_id").agg(
+            F.max_by("cell", F.struct(F.col("csim"),
+                                      -F.col("cell"))).alias("cell"),
+            F.any_value("embedding").alias("embedding"))
+        comp = assign.select(
+            "cell", F.posexplode("embedding").alias("pos", "val"))
+        cents = comp.groupBy("cell", "pos") \
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mv")) \
+            .groupBy("cell").agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, mv))),"
+                       " x -> x.mv)").alias("qe"))
+    asim = F.broadcast(cents).crossJoin(e) \
+        .select("vec_id", "embedding", "cell", csim.alias("csim"))
+    assign = asim.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell"),
+        F.any_value("embedding").alias("embedding"))
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    qsim = F.broadcast(q).crossJoin(
+        cents.select("cell", F.col("qe").alias("embedding"))) \
+        .select("qid", "qe", "cell", csim.alias("csim"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), "cell")
+    qprobe = qsim.withColumn("rk", F.row_number().over(wq)) \
+        .filter(F.col("rk") <= 4).select("qid", "qe", "cell")
+    j = F.broadcast(qprobe).join(
+        assign.withColumnRenamed("cell", "acell"),
+        (F.col("acell") == F.col("cell"))
+        & (F.col("vec_id") != F.col("qid")))
+    sim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    sims = j.select("qid", "vec_id", sim.alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return sims.select("qid", "vec_id", "sim",
+                       F.row_number().over(w).alias("rk")) \
+        .filter(F.col("rk") <= 5).select("qid", "vec_id", "sim")
+
+
 # --- production-threshold ANN recall gate (VERDICT r5 task 5) -------------
 # 16-bit hyperplane signatures + full Hamming-<=2 multi-probe (1+16+120 =
 # 137 probe buckets/query) over a corpus with DETERMINISTIC planted

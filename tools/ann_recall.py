@@ -24,15 +24,26 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from sen2rts_spark.queries_docs import ANN_LSH_BITS, _ANN_BUCKET_SQL  # noqa: E402
+from sen2rts_spark.queries_docs import (ANN_LSH_BITS, _ANN_BUCKET_SQL,  # noqa: E402
+                                        _LLOYD_SQL)
 
 
 def recall(con, sf_dir: str, k: int) -> dict:
+    con.execute(f"CREATE OR REPLACE VIEW embeddings AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
+    return _ivf_suite(con, k)
+
+
+def _ivf_suite(con, k: int) -> dict:
+    """All probe strategies over whatever relation the ``embeddings`` view
+    points at — the SAME SQL the gated Spark queries are hash-proven
+    equivalent to, including the 2-iteration Lloyd refinement
+    (ann_ivf_lloyd_topk)."""
     probes_hd1 = f"SELECT UNNEST(generate_series(-1, {ANN_LSH_BITS - 1})) AS j"
     base = f"""
 WITH bk AS (
   SELECT vec_id, embedding, {_ANN_BUCKET_SQL} AS bucket
-  FROM read_parquet('{sf_dir}/embeddings.parquet')),
+  FROM embeddings),
 exact AS (
   SELECT q.vec_id AS qid, e.vec_id,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -75,12 +86,41 @@ ivf1 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
 ivf2 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 2),
 ivf4 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
-         ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 4)
+         ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 4),
+c0 AS (SELECT cell, ce FROM c),""" + _LLOYD_SQL("c0", "cl1") + "," \
+        + _LLOYD_SQL("cl1", "cl2") + """,
+asgn_l AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(c.ce, e.embedding)
+             / (sqrt(list_dot_product(c.ce, c.ce))
+                * sqrt(list_dot_product(e.embedding, e.embedding))) DESC,
+             c.cell) AS rk
+    FROM bk e, cl2 c) WHERE rk = 1),
+qcell_l AS (
+  SELECT qid, cell, rk FROM (
+    SELECT q.vec_id AS qid, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding, c.ce)
+             / (sqrt(list_dot_product(q.embedding, q.embedding))
+                * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+             c.cell) AS rk
+    FROM bk q, cl2 c)),
+ivfl1 AS (SELECT p.qid, a.vec_id FROM qcell_l p JOIN asgn_l a
+          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 1),
+ivfl2 AS (SELECT p.qid, a.vec_id FROM qcell_l p JOIN asgn_l a
+          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 2),
+ivfl4 AS (SELECT p.qid, a.vec_id FROM qcell_l p JOIN asgn_l a
+          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 4)
 """
     out = {}
     for name, cand in (("single_bucket", "single"), ("multiprobe_hd1", "multi"),
                        ("ivf_nprobe1", "ivf1"), ("ivf_nprobe2", "ivf2"),
-                       ("ivf_nprobe4", "ivf4")):
+                       ("ivf_nprobe4", "ivf4"),
+                       ("ivf_lloyd_nprobe1", "ivfl1"),
+                       ("ivf_lloyd_nprobe2", "ivfl2"),
+                       ("ivf_lloyd_nprobe4", "ivfl4")):
         row = con.execute(base + f"""
 SELECT AVG(hits / {k}.0) AS recall,
        AVG(n_cand) AS mean_candidates
@@ -96,12 +136,36 @@ FROM (
 """).fetchone()
         out[name] = {"recall_at_k": round(row[0], 4),
                      "mean_candidates": round(row[1], 1)}
-    n_total = con.execute(
-        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
-    ).fetchone()[0]
-    out["n_vectors"] = n_total
+    out["n_vectors"] = con.execute(
+        "SELECT COUNT(*) FROM embeddings").fetchone()[0]
     out["k"] = k
     out["bits"] = ANN_LSH_BITS
+    return out
+
+
+def clustered_recall(k: int) -> dict:
+    """The same suite over a corpus with GENUINE cluster structure — a
+    deterministic 16-component Gaussian mixture (seed 42, 512 vectors,
+    d=64, sigma=0.35). The fixture embeddings are isotropic noise
+    (within-label cosine 0.0016), which information-theoretically caps ANY
+    coarse quantizer's top-k recall near the scanned fraction; this section
+    shows the SAME Lloyd pipeline reaching its design recall when the data
+    has the structure IVF exploits."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(42)
+    K, per, d = 16, 32, 64
+    centers = rng.normal(0, 1, (K, d))
+    X = np.repeat(centers, per, axis=0) + rng.normal(0, 0.35, (K * per, d))
+    df = pd.DataFrame({"vec_id": np.arange(len(X)),
+                       "embedding": [row.astype(np.float32).tolist()
+                                     for row in X]})
+    con = duckdb.connect()
+    con.register("synth", df)
+    con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                "SELECT vec_id, embedding FROM synth")
+    out = _ivf_suite(con, k)
+    out["corpus"] = "gaussian_mixture_16x32_d64_sigma0.35_seed42"
     return out
 
 
@@ -159,6 +223,7 @@ def main():
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     con = duckdb.connect()
     res = {"sf_dir": sf_dir, **recall(con, sf_dir, k),
+           "clustered_corpus": clustered_recall(k),
            "planted_near_dup": {
                f"sim_{s}": planted_recall(con, sf_dir, s)
                for s in (0.9, 0.95, 0.99)}}
