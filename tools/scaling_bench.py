@@ -40,6 +40,7 @@ from sen2rts_spark.operators.gorilla_sink import encode_blobs
 
 cores = int(sys.argv[1]); pages_path = sys.argv[2]
 conc = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+tiny_path = sys.argv[4] if len(sys.argv) > 4 else ""
 
 def cpu_snap():
     with open("/proc/stat") as f:
@@ -80,15 +81,32 @@ def run_load():
         return sum(f.result() for f in
                    [ex.submit(run_pipeline) for _ in range(conc)])
 
+def run_fixed():
+    # fixed-cost probe: the IDENTICAL pipeline (same stage/job count, same
+    # plan depth) over a ~0.2%%-size input — its wall time is the per-job
+    # overhead that does NOT shrink with cores (driver planning, job/stage
+    # scheduling, Python-worker dispatch floor). scalable_sec = sec - this.
+    pages = spark.read.parquet(tiny_path)
+    obs = extract_obs(pages).select("id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
+    blobs = encode_blobs(rollup_raw(obs, "daily"), "daily")
+    t0 = time.time()
+    blobs.agg(F.sum("count")).first()
+    return time.time() - t0
+
 # warm-up (untimed): worker pool on an idle JVM, then one full pass for JIT
 prewarm_python_workers(spark)
 run_load()
+if tiny_path:
+    run_fixed()
 print("READY", flush=True)
 for line in sys.stdin:
     cmd = line.strip()
     if cmd == "cal":
         # health probe only: no Spark job, just the single-thread speed index
         print(json.dumps({"cal_sec": round(calibrate(), 3)}), flush=True)
+        continue
+    if cmd == "fixed":
+        print(json.dumps({"fixed_sec": round(run_fixed(), 3)}), flush=True)
         continue
     if cmd != "run":
         break
@@ -116,11 +134,12 @@ spark.stop()
 
 
 class Level:
-    def __init__(self, cores: int, pages_path: str, conc: int = 1):
+    def __init__(self, cores: int, pages_path: str, conc: int = 1,
+                 tiny_path: str = ""):
         self.cores = cores
         self.proc = subprocess.Popen(
             [sys.executable, "-c", CHILD % {"repo": REPO}, str(cores),
-             pages_path, str(conc)],
+             pages_path, str(conc), tiny_path],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
             cwd=REPO)
         while True:
@@ -146,6 +165,9 @@ class Level:
 
     def cal(self) -> float:
         return self._cmd("cal")["cal_sec"]
+
+    def fixed(self) -> float:
+        return self._cmd("fixed")["fixed_sec"]
 
     def close(self):
         try:
@@ -181,10 +203,13 @@ def main():
             "from bench import ensure_pages; "
             "from sen2rts_spark.session import get_spark; "
             "s = get_spark('scaling-prep', cores=8); "
-            "print(ensure_pages(s, %r, %d, 200))" % (REPO, REPO, n_urls))
-    pages_path = subprocess.run(
+            "print(ensure_pages(s, %r, %d, 200)); "
+            "print(ensure_pages(s, %r, 300, 200))"
+            % (REPO, REPO, n_urls, REPO))
+    prep_out = subprocess.run(
         [sys.executable, "-c", prep], capture_output=True, text=True,
-        check=True, cwd=REPO).stdout.strip().splitlines()[-1]
+        check=True, cwd=REPO).stdout.strip().splitlines()
+    pages_path, tiny_path = prep_out[-2], prep_out[-1]
 
     # pre-warm the OS page cache: the sandbox disk is slow enough that the
     # first scan otherwise measures disk, not the engine
@@ -194,7 +219,7 @@ def main():
                 while f.read(1 << 24):
                     pass
 
-    children = {c: Level(c, pages_path, conc) for c in levels}
+    children = {c: Level(c, pages_path, conc, tiny_path) for c in levels}
     samples: dict[int, list] = {c: [] for c in levels}
     t_start = time.time()
     probe_log: list[dict] = []
@@ -297,6 +322,26 @@ def main():
                     mean_lo["sec"] = (s1["sec"] + s2["sec"]) / 2
                     mean_lo["steal_pct"] = max(s1["steal_pct"],
                                                s2["steal_pct"])
+                    # per-pair fixed/scalable decomposition (VERDICT r6
+                    # task 1): tiny-input pipeline = per-job overhead that
+                    # does not shrink with cores; the efficiency of the
+                    # SCALABLE part separates engine scaling from the
+                    # Amdahl floor of driver/scheduler fixed cost.
+                    f_lo = children[lo].fixed()
+                    f_hi = children[hi].fixed()
+                    mean_lo["fixed_sec"] = f_lo
+                    sh["fixed_sec"] = f_hi
+                    eff_raw = (mean_lo["sec"] / sh["sec"]) / (hi / lo)
+                    scal_lo = max(mean_lo["sec"] - f_lo, 1e-9)
+                    scal_hi = max(sh["sec"] - f_hi, 1e-9)
+                    eff_scal = (scal_lo / scal_hi) / (hi / lo)
+                    probe_log[-1]["fixed_sec"] = {str(lo): f_lo,
+                                                  str(hi): f_hi}
+                    probe_log[-1]["eff_raw"] = round(eff_raw, 3)
+                    probe_log[-1]["eff_scalable"] = round(eff_scal, 3)
+                    print(f"    decomposition: fixed {f_lo:.2f}s/"
+                          f"{f_hi:.2f}s eff_raw {eff_raw:.3f} "
+                          f"eff_scalable {eff_scal:.3f}", flush=True)
                     samples[lo].append(mean_lo)
                     samples[hi].append(sh)
                 continue
@@ -366,9 +411,44 @@ def main():
                     statistics.median(cal_adj), 3)
             results[f"eff_steal_adj_{lo}_to_{hi}"] = round(
                 statistics.median(adj), 3)
+            # fixed/scalable decomposition medians (VERDICT r6 task 1)
+            if all("fixed_sec" in s for s in samples[lo] + samples[hi]):
+                scal = [round(((l["sec"] - l["fixed_sec"])
+                               / max(h["sec"] - h["fixed_sec"], 1e-9))
+                              / (hi / lo), 3)
+                        for l, h in zip(samples[lo], samples[hi])]
+                results[f"per_pair_eff_scalable_{lo}_to_{hi}"] = scal
+                results[f"eff_scalable_{lo}_to_{hi}"] = round(
+                    statistics.median(scal), 3)
+                results[f"fixed_sec_median_{lo}"] = round(statistics.median(
+                    s["fixed_sec"] for s in samples[lo]), 3)
+                results[f"fixed_sec_median_{hi}"] = round(statistics.median(
+                    s["fixed_sec"] for s in samples[hi]), 3)
             print(f"scaling efficiency (N={lo} -> 4N={hi}): {eff:.3f} raw, "
                   f"{statistics.median(adj):.3f} steal-adjusted "
                   f"(per-pair raw {pairs}, adj {adj}; target >= 0.8)")
+
+    # same-run host delivery ceilings (what THIS box gave from lo to hi
+    # widths while these pairs were collected): the stream probe bounds any
+    # bandwidth-bound stage's possible efficiency; a job efficiency between
+    # the stream and spin ceilings is host-delivery-limited, not plan-limited
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from delivery_ceiling import (_run, _spin_worker,  # noqa: E402
+                                      _stream_worker)
+        lo, hi = levels[0], levels[-1]
+        ceil = {}
+        for name, worker in (("spin", _spin_worker),
+                             ("stream_membw", _stream_worker)):
+            _run(lo, worker, 1.0)
+            r_lo = _run(lo, worker, 4.0)
+            r_hi = _run(hi, worker, 4.0)
+            ceil[name] = {"ratio": round(r_hi / r_lo, 3),
+                          "ceiling_eff": round(r_hi / r_lo / (hi / lo), 3)}
+        results["delivery_ceiling_same_run"] = ceil
+        print(f"same-run delivery ceilings: {ceil}", flush=True)
+    except Exception as exc:  # ceiling probe is evidence, never a failure
+        results["delivery_ceiling_same_run"] = {"error": str(exc)}
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SCALING.json"), "w") as f:
