@@ -304,6 +304,8 @@ def main():
                 ok = drift < 0.10 and sh["steal_pct"] < steal_cap and amb_ok
                 why = ("OK" if ok else
                        "REJECT (ambient load)" if not amb_ok else
+                       "REJECT (wide-rep steal)"
+                       if sh["steal_pct"] >= steal_cap else
                        "REJECT (phase moved mid-pair)")
                 print(f"pair {npair} local[{lo}]: {s1['sec']:.1f}s/"
                       f"{s2['sec']:.1f}s ({drift * 100:.1f}% drift) "
