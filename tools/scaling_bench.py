@@ -253,7 +253,24 @@ def main():
             d = [y - x for x, y in zip(a, b)]
             return 100.0 * d[7] / max(sum(d), 1)
 
+        def _load_steal(width: int, sec: float = 3.0) -> float:
+            # load-INDUCED steal probe: this guest shows ~0% steal idle even
+            # in phases where a full-width load loses 2-11% to the
+            # hypervisor (r7a: all 16 idle probes clean, every 16-wide rep
+            # stolen from). Spin `width` subprocesses for `sec` and read the
+            # steal that demand provokes — 3 s here saves a doomed 5-min pair.
+            sys.path.insert(0, os.path.join(REPO, "tools"))
+            from delivery_ceiling import _run, _spin_worker
+            with open("/proc/stat") as f:
+                a = list(map(int, f.readline().split()[1:]))
+            _run(width, _spin_worker, sec)
+            with open("/proc/stat") as f:
+                b = list(map(int, f.readline().split()[1:]))
+            d = [y - x for x, y in zip(a, b)]
+            return 100.0 * d[7] / max(sum(d), 1)
+
         npair = 0
+        nskip = 0
         while len(samples[levels[0]]) < runs \
                 and time.time() - t_start < budget:
             cals = {c: children[c].cal() for c in levels}
@@ -273,6 +290,27 @@ def main():
                 time.sleep(15)
                 continue
             if os.environ.get("SPARK_GRAFT_SCALING_SANDWICH", "") == "1":
+                wide_steal = _load_steal(levels[-1])
+                probe_log[-1]["load_steal_pct"] = round(wide_steal, 2)
+                if wide_steal >= float(os.environ.get(
+                        "SPARK_GRAFT_SCALING_STEAL_CAP", "2.0")):
+                    nskip += 1
+                    # every 4th consecutive skip, run the pair anyway: it
+                    # will fail the acceptance gate but still yields the
+                    # fixed/scalable decomposition + steal-adjusted numbers
+                    # (a night of pure skips produces zero evidence — r7a)
+                    if nskip % 4 != 0:
+                        probe_log[-1]["accepted"] = False
+                        print(f"    load-steal probe {wide_steal:.1f}% -> "
+                              f"wait (wide load cannot get clean CPU)",
+                              flush=True)
+                        time.sleep(30)
+                        continue
+                    print(f"    load-steal probe {wide_steal:.1f}% but "
+                          f"{nskip} consecutive skips -> forced pair "
+                          f"(evidence-only)", flush=True)
+                else:
+                    nskip = 0
                 # sandwich rep order lo, hi, lo: a pair spans ~3-5 min and
                 # the host phase can flip INSIDE it, in either direction —
                 # run-A pairs caught a degraded wide level (raw 0.48-0.69),
@@ -317,33 +355,42 @@ def main():
                 probe_log.append({
                     "t": round(time.time() - t_start, 1), "sandwich": npair,
                     "lo_reps": [s1, s2], "hi_rep": sh,
-                    "drift_pct": round(100 * drift, 1), "accepted": ok})
+                    "drift_pct": round(100 * drift, 1), "accepted": ok,
+                    "why": why})
+                # per-pair fixed/scalable decomposition (VERDICT r6 task 1):
+                # tiny-input pipeline = per-job overhead that does not shrink
+                # with cores; the efficiency of the SCALABLE part separates
+                # engine scaling from the Amdahl floor of driver/scheduler
+                # fixed cost. Measured on EVERY pair — r7a rejected 16/16 on
+                # host noise and left zero decomposition data; a rejected
+                # pair's decomposition is still evidence (flagged accepted
+                # false), and the two tiny runs cost ~seconds.
+                mean_lo = dict(s1)
+                mean_lo["pps"] = (s1["pps"] + s2["pps"]) / 2
+                mean_lo["sec"] = (s1["sec"] + s2["sec"]) / 2
+                mean_lo["steal_pct"] = max(s1["steal_pct"], s2["steal_pct"])
+                f_lo = children[lo].fixed()
+                f_hi = children[hi].fixed()
+                mean_lo["fixed_sec"] = f_lo
+                sh["fixed_sec"] = f_hi
+                eff_raw = (mean_lo["sec"] / sh["sec"]) / (hi / lo)
+                scal_lo = max(mean_lo["sec"] - f_lo, 1e-9)
+                scal_hi = max(sh["sec"] - f_hi, 1e-9)
+                eff_scal = (scal_lo / scal_hi) / (hi / lo)
+                # steal-adjusted: sec * (1 - steal) = wall the same rep
+                # would have taken had the hypervisor delivered every cycle
+                adj_lo = mean_lo["sec"] * (1 - mean_lo["steal_pct"] / 100)
+                adj_hi = sh["sec"] * (1 - sh["steal_pct"] / 100)
+                eff_adj = (adj_lo / adj_hi) / (hi / lo)
+                probe_log[-1]["fixed_sec"] = {str(lo): f_lo, str(hi): f_hi}
+                probe_log[-1]["eff_raw"] = round(eff_raw, 3)
+                probe_log[-1]["eff_steal_adj"] = round(eff_adj, 3)
+                probe_log[-1]["eff_scalable"] = round(eff_scal, 3)
+                print(f"    decomposition: fixed {f_lo:.2f}s/"
+                      f"{f_hi:.2f}s eff_raw {eff_raw:.3f} "
+                      f"eff_steal_adj {eff_adj:.3f} "
+                      f"eff_scalable {eff_scal:.3f}", flush=True)
                 if ok:
-                    mean_lo = dict(s1)
-                    mean_lo["pps"] = (s1["pps"] + s2["pps"]) / 2
-                    mean_lo["sec"] = (s1["sec"] + s2["sec"]) / 2
-                    mean_lo["steal_pct"] = max(s1["steal_pct"],
-                                               s2["steal_pct"])
-                    # per-pair fixed/scalable decomposition (VERDICT r6
-                    # task 1): tiny-input pipeline = per-job overhead that
-                    # does not shrink with cores; the efficiency of the
-                    # SCALABLE part separates engine scaling from the
-                    # Amdahl floor of driver/scheduler fixed cost.
-                    f_lo = children[lo].fixed()
-                    f_hi = children[hi].fixed()
-                    mean_lo["fixed_sec"] = f_lo
-                    sh["fixed_sec"] = f_hi
-                    eff_raw = (mean_lo["sec"] / sh["sec"]) / (hi / lo)
-                    scal_lo = max(mean_lo["sec"] - f_lo, 1e-9)
-                    scal_hi = max(sh["sec"] - f_hi, 1e-9)
-                    eff_scal = (scal_lo / scal_hi) / (hi / lo)
-                    probe_log[-1]["fixed_sec"] = {str(lo): f_lo,
-                                                  str(hi): f_hi}
-                    probe_log[-1]["eff_raw"] = round(eff_raw, 3)
-                    probe_log[-1]["eff_scalable"] = round(eff_scal, 3)
-                    print(f"    decomposition: fixed {f_lo:.2f}s/"
-                          f"{f_hi:.2f}s eff_raw {eff_raw:.3f} "
-                          f"eff_scalable {eff_scal:.3f}", flush=True)
                     samples[lo].append(mean_lo)
                     samples[hi].append(sh)
                 continue
@@ -372,6 +419,25 @@ def main():
         if os.environ.get("SPARK_GRAFT_SCALING_SANDWICH", "") == "1":
             results["protocol"] += "_sandwich"
         results["probes"] = probe_log
+    # all-pair summary (accepted AND rejected): a 0-accept run must still
+    # deliver the decomposition evidence the pairs carry
+    sand = [p for p in probe_log if "eff_raw" in p]
+    if sand:
+        med = statistics.median
+        results["all_pairs"] = {
+            "n": len(sand),
+            "n_accepted": sum(1 for p in sand if p["accepted"]),
+            "eff_raw_median": round(med(p["eff_raw"] for p in sand), 3),
+            "eff_steal_adj_median": round(
+                med(p["eff_steal_adj"] for p in sand), 3),
+            "eff_scalable_median": round(
+                med(p["eff_scalable"] for p in sand), 3),
+            "fixed_sec_median": {
+                k: round(med(p["fixed_sec"][k] for p in sand), 2)
+                for k in sand[0]["fixed_sec"]},
+        }
+        print(f"all pairs (incl. rejected): {results['all_pairs']}",
+              flush=True)
     if not all(samples[c] for c in levels):
         results["note"] = "no qualifying quiet-window pairs within budget"
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
