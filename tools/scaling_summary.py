@@ -77,6 +77,39 @@ def main():
                 eff = sh["pps"] / ((s1["pps"] + s2["pps"]) / 2) / ratio
                 current_gate.setdefault(
                     f"{s1['cores']}->{sh['cores']}", []).append(round(eff, 3))
+    # decomposition pool (r7+): pairs that carried the tiny-input fixed
+    # probe, regardless of gate verdict — eff_scalable strips the per-job
+    # overhead that does not shrink with cores (driver planning, scheduler,
+    # Python-worker dispatch floor) from both sides
+    decomp: dict[str, dict[str, list]] = {}
+    for path in sorted(glob.glob(os.path.join(BENCH, "SCALING_*.json"))):
+        with open(path) as f:
+            d = json.load(f)
+        for pr in d.get("probes", []):
+            if "eff_scalable" not in pr:
+                continue
+            s1 = pr["lo_reps"][0]
+            sh = pr["hi_rep"]
+            k = f"{s1['cores']}->{sh['cores']}"
+            cell = decomp.setdefault(k, {"raw": [], "adj": [], "scal": [],
+                                         "fixed_lo": [], "fixed_hi": []})
+            cell["raw"].append(pr["eff_raw"])
+            cell["adj"].append(pr.get("eff_steal_adj", pr["eff_raw"]))
+            cell["scal"].append(pr["eff_scalable"])
+            fx = pr.get("fixed_sec", {})
+            for name, dest in ((str(s1["cores"]), "fixed_lo"),
+                               (str(sh["cores"]), "fixed_hi")):
+                if name in fx:
+                    cell[dest].append(fx[name])
+    for pair, cell in sorted(decomp.items()):
+        med = statistics.median
+        print(f"decomposition {pair}: n={len(cell['raw'])} "
+              f"eff_raw={med(cell['raw']):.3f} "
+              f"eff_steal_adj={med(cell['adj']):.3f} "
+              f"eff_scalable={med(cell['scal']):.3f} "
+              f"fixed_sec lo/hi="
+              f"{med(cell['fixed_lo']):.2f}/{med(cell['fixed_hi']):.2f}")
+
     print()
     for label, pool in (("drift-accepted (as recorded)", accepted),
                         ("current gate (drift<10%, wide steal<2%)",
