@@ -87,6 +87,8 @@ ivf2 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 2),
 ivf4 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 4),
+ivf8 AS (SELECT p.qid, a.vec_id FROM qcell p JOIN asgn a
+         ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 8),
 c0 AS (SELECT cell, ce FROM c),""" + _LLOYD_SQL("c0", "cl1") + "," \
         + _LLOYD_SQL("cl1", "cl2") + """,
 asgn_l AS (
@@ -112,15 +114,18 @@ ivfl1 AS (SELECT p.qid, a.vec_id FROM qcell_l p JOIN asgn_l a
 ivfl2 AS (SELECT p.qid, a.vec_id FROM qcell_l p JOIN asgn_l a
           ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 2),
 ivfl4 AS (SELECT p.qid, a.vec_id FROM qcell_l p JOIN asgn_l a
-          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 4)
+          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 4),
+ivfl8 AS (SELECT p.qid, a.vec_id FROM qcell_l p JOIN asgn_l a
+          ON a.cell = p.cell AND a.vec_id <> p.qid WHERE p.rk <= 8)
 """
     out = {}
     for name, cand in (("single_bucket", "single"), ("multiprobe_hd1", "multi"),
                        ("ivf_nprobe1", "ivf1"), ("ivf_nprobe2", "ivf2"),
-                       ("ivf_nprobe4", "ivf4"),
+                       ("ivf_nprobe4", "ivf4"), ("ivf_nprobe8", "ivf8"),
                        ("ivf_lloyd_nprobe1", "ivfl1"),
                        ("ivf_lloyd_nprobe2", "ivfl2"),
-                       ("ivf_lloyd_nprobe4", "ivfl4")):
+                       ("ivf_lloyd_nprobe4", "ivfl4"),
+                       ("ivf_lloyd_nprobe8", "ivfl8")):
         row = con.execute(base + f"""
 SELECT AVG(hits / {k}.0) AS recall,
        AVG(n_cand) AS mean_candidates
@@ -161,6 +166,7 @@ def clustered_recall(k: int) -> dict:
                        "embedding": [row.astype(np.float32).tolist()
                                      for row in X]})
     con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('ANN_RECALL_THREADS', '4')}")
     con.register("synth", df)
     con.execute("CREATE OR REPLACE VIEW embeddings AS "
                 "SELECT vec_id, embedding FROM synth")
@@ -222,6 +228,9 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     con = duckdb.connect()
+    # cap threads so this can run beside the scaling collector (500-vector
+    # corpus; DuckDB would otherwise grab all 32 cores)
+    con.execute(f"SET threads={os.environ.get('ANN_RECALL_THREADS', '4')}")
     res = {"sf_dir": sf_dir, **recall(con, sf_dir, k),
            "clustered_corpus": clustered_recall(k),
            "planted_near_dup": {
