@@ -1,0 +1,115 @@
+"""Attribute same-box scaling loss to its causes, reproducibly.
+
+Reads the sandwich-pair decompositions (BENCH/SCALING*.json probes that
+carry ``eff_scalable`` / ``fixed_sec``) plus the same-box delivery ceilings
+(BENCH/CEILING_4_to_16.json) and solves the two-component model:
+
+    t(W)  =  fixed  +  (1-beta) * C / W  +  beta * B / membw(W)
+
+* ``fixed``     — per-job overhead that does not shrink with cores
+                  (driver planning, scheduler, Python-worker dispatch
+                  floor); measured directly by the tiny-input probe.
+* ``C``         — CPU-bound core-seconds; scales with W at the measured
+                  spin ceiling (~1.0 on this box).
+* ``beta``      — fraction of the SCALABLE work that is memory-bandwidth
+                  bound; on one box it scales at the measured stream
+                  ceiling (0.45 from 4->16: the socket saturates ~100 GB/s
+                  and 4 cores already draw ~55), NOT with cores.
+
+Solving eff_scalable = 1 / ((1-beta) + beta/ceiling) for beta gives the
+bandwidth-bound fraction that exactly reproduces the measured scalable
+efficiency. The multi-node prediction then swaps the bandwidth term's
+scaling from "one shared socket" to "one memory system per node" (every
+executor host added brings its own memory controllers — the bandwidth
+pool grows WITH the cluster, which is precisely what this single box
+cannot emulate), leaving only the fixed-cost Amdahl term:
+
+    eff_cluster(N->4N) = (fixed + S) / (4 * (fixed + S/4))   [S >> fixed]
+
+Usage:  python tools/scaling_model.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+
+BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
+
+
+def collect_pairs() -> list[dict]:
+    pairs = []
+    for path in sorted(glob.glob(os.path.join(BENCH, "SCALING*.json"))):
+        with open(path) as f:
+            d = json.load(f)
+        for pr in d.get("probes", []):
+            if "eff_scalable" in pr:
+                pr["_src"] = os.path.basename(path)
+                pairs.append(pr)
+    return pairs
+
+
+def main():
+    pairs = collect_pairs()
+    if not pairs:
+        raise SystemExit("no decomposition-bearing pairs found")
+    ceil_path = os.path.join(BENCH, "CEILING_4_to_16.json")
+    with open(ceil_path) as f:
+        ceil = json.load(f)
+    stream_eff = ceil["stream_membw"]["ceiling_eff"]   # 0.45 measured
+    spin_eff = ceil["spin"]["ceiling_eff"]             # ~1.0 measured
+
+    med = statistics.median
+    accepted = [p for p in pairs if p.get("accepted")]
+    use = accepted or pairs
+    eff_scal = med(p["eff_scalable"] for p in use)
+    eff_raw = med(p["eff_raw"] for p in use)
+    fixed = {k: med(p["fixed_sec"][k] for p in use if k in p["fixed_sec"])
+             for k in use[0]["fixed_sec"]}
+    lo_sec = med((p["lo_reps"][0]["sec"] + p["lo_reps"][1]["sec"]) / 2
+                 for p in use)
+    hi_sec = med(p["hi_rep"]["sec"] for p in use)
+    lo_w = use[0]["lo_reps"][0]["cores"]
+    hi_w = use[0]["hi_rep"]["cores"]
+
+    # bandwidth-bound fraction that reproduces the measured scalable
+    # efficiency given the box's stream ceiling (beta of the LO-width
+    # scalable wall time)
+    #   eff_scalable = 1 / ((1-beta)/spin_eff + beta/stream_eff)
+    inv = 1.0 / eff_scal
+    beta = (inv - 1.0 / spin_eff) / (1.0 / stream_eff - 1.0 / spin_eff)
+    beta = max(0.0, min(1.0, beta))
+
+    # multi-node prediction: bandwidth scales with nodes, so the scalable
+    # part scales at ~spin ceiling; only the fixed term is left as Amdahl.
+    scal_lo = lo_sec - fixed[str(lo_w)]
+    t4n = fixed[str(hi_w)] + scal_lo / (hi_w // lo_w)
+    eff_cluster = (fixed[str(lo_w)] + scal_lo) / ((hi_w // lo_w) * t4n)
+
+    out = {
+        "pairs_used": len(use),
+        "pairs_accepted": len(accepted),
+        "widths": [lo_w, hi_w],
+        "median_lo_sec": round(lo_sec, 1),
+        "median_hi_sec": round(hi_sec, 1),
+        "fixed_sec_median": {k: round(v, 2) for k, v in fixed.items()},
+        "eff_raw_median": round(eff_raw, 3),
+        "eff_scalable_median": round(eff_scal, 3),
+        "ceilings_same_box": {"spin": spin_eff, "stream_membw": stream_eff},
+        "bandwidth_bound_fraction_beta": round(beta, 3),
+        "predicted_cluster_eff_N_to_4N": round(eff_cluster, 3),
+        "model": ("beta solves eff_scalable = 1/((1-b)/spin + b/stream); "
+                  "cluster prediction scales bandwidth WITH nodes (one "
+                  "memory system per executor host) leaving only the "
+                  "fixed-cost Amdahl term"),
+    }
+    with open(os.path.join(BENCH, "SCALING_MODEL.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
