@@ -89,6 +89,51 @@ def main():
     t4n = fixed[str(hi_w)] + scal_lo / (hi_w // lo_w)
     eff_cluster = (fixed[str(lo_w)] + scal_lo) / ((hi_w // lo_w) * t4n)
 
+    # per-pair fit: solve beta for EVERY decomposition-bearing pair
+    # (accepted and rejected) and check the model's falsifiable claim —
+    # apparent beta must TRACK the host's delivered bandwidth phase
+    # (wide-rep throughput), not the code, which is constant across pairs.
+    def _beta_of(e):
+        b = (1.0 / max(e, 1e-9) - 1.0 / spin_eff) \
+            / (1.0 / stream_eff - 1.0 / spin_eff)
+        return max(0.0, min(1.5, b))  # >1 flags contention beyond membw
+
+    per_pair = []
+    for p in pairs:
+        fl, fh = p["fixed_sec"][str(lo_w)], p["fixed_sec"][str(hi_w)]
+        p_lo = (p["lo_reps"][0]["sec"] + p["lo_reps"][1]["sec"]) / 2
+        sc_lo = max(p_lo - fl, 1e-9)
+        p_t4n = fh + sc_lo / (hi_w // lo_w)
+        per_pair.append({
+            "src": p["_src"], "accepted": bool(p.get("accepted")),
+            "eff_raw": p["eff_raw"], "eff_scalable": p["eff_scalable"],
+            "beta": round(_beta_of(p["eff_scalable"]), 3),
+            "hi_pps_k": round(p["hi_rep"]["pps"] / 1000),
+            "hi_steal_pct": p["hi_rep"]["steal_pct"],
+            "predicted_cluster_eff": round(
+                (fl + sc_lo) / ((hi_w // lo_w) * p_t4n), 3),
+        })
+    # rank correlation (Spearman via rank transform, no scipy) between
+    # delivered wide bandwidth and apparent beta: strongly negative =
+    # the efficiency loss lives in the host's bandwidth phase.
+    def _ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        r = [0.0] * len(xs)
+        for rank, i in enumerate(order):
+            r[i] = float(rank)
+        return r
+
+    corr = None
+    if len(per_pair) >= 3:
+        xs = _ranks([q["hi_pps_k"] for q in per_pair])
+        ys = _ranks([q["beta"] for q in per_pair])
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        sxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        sxx = sum((a - mx) ** 2 for a in xs)
+        syy = sum((b - my) ** 2 for b in ys)
+        if sxx > 0 and syy > 0:
+            corr = round(sxy / (sxx * syy) ** 0.5, 3)
+
     out = {
         "pairs_used": len(use),
         "pairs_accepted": len(accepted),
@@ -105,6 +150,10 @@ def main():
                   "cluster prediction scales bandwidth WITH nodes (one "
                   "memory system per executor host) leaving only the "
                   "fixed-cost Amdahl term"),
+        "per_pair": per_pair,
+        "spearman_beta_vs_delivered_bandwidth": corr,
+        "per_pair_predicted_cluster_eff_median": round(
+            med(q["predicted_cluster_eff"] for q in per_pair), 3),
     }
     with open(os.path.join(BENCH, "SCALING_MODEL.json"), "w") as f:
         json.dump(out, f, indent=2)
