@@ -42,7 +42,9 @@ BENCH = os.path.join(
 
 def collect_pairs() -> list[dict]:
     pairs = []
-    for path in sorted(glob.glob(os.path.join(BENCH, "SCALING*.json"))):
+    for path in sorted(glob.glob(os.path.join(BENCH, "SCALING_*.json"))):
+        # SCALING.json is the live output slot and duplicates the last
+        # archived run (same exclusion as scaling_summary.py)
         with open(path) as f:
             d = json.load(f)
         for pr in d.get("probes", []):
