@@ -210,6 +210,15 @@ def bench_tier_read(spark, blobs_path: str) -> dict[str, float]:
         .groupBy("id").agg(F.count(F.lit(1)).alias("n"),
                            F.sum("value").alias("s")).count()
     res["tier_read_window_naive"] = round(time.time() - t0, 3)
+    # deterministic decode-volume metric: the pruned plan's win is the
+    # fraction of blobs it never decodes — at sf0.1 both walls sit on the
+    # same ~0.7 s scan+dispatch floor, so the structural saving (the term
+    # that grows with store size at 100 TB) is recorded explicitly.
+    n_total = blobs.count()
+    n_pruned = blobs.filter((F.col("max_ts") >= lo)
+                            & (F.col("min_ts") < hi)).count()
+    res["tier_read_window_blobs_decoded"] = n_pruned
+    res["tier_read_window_blobs_total"] = n_total
     return res
 
 
