@@ -1518,44 +1518,127 @@ def _small_filled_cycles(spark, sf_dir, n_ids=3):
     return filled, cycles
 
 
-@register("fit_curves_fallback")
+@register("fit_curves_fallback", """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         AVG(value) AS v
+  FROM events WHERE user_id < 3 GROUP BY 1, CAST(ts AS DATE)),"""
+          + _FILL_GRID_CTES + """
+SELECT a.id, 2024 AS year, 1 AS cycle,
+       DATE '1970-01-01' + a.d::INT AS date,
+       TRUE AS fm_ok, TRUE AS fm_uniform, TRUE AS vf_finite
+FROM alld a
+""")
 def q_fit_curves_fallback(spark, sf_dir):
     """C12 variants: Klosterman/Beck/Elmore double-logistic fits with the
-    reference retry chain (fit_curve.R:73,116-129,149-156) — rows-only
-    (NLS not SQL-expressible). fit_method reports which link succeeded."""
+    reference retry chain (fit_curve.R:73,116-129,149-156), terminal
+    identity guard ("no", fit_curve.R:14-24) so every cycle emits.
+
+    The REAL multistart NLS chain runs; the value-level invariant oracle
+    pins what SQL can check of it: the per-cycle long output covers
+    exactly the filled grid of its [begin, end) window (same grid CTEs as
+    ``fit_curves_long``), the method that succeeded is one of the
+    requested links and is uniform within each cycle, and every fitted
+    value is finite (the kernel rejects non-finite fits —
+    kernels/dlog.py _fit_generic)."""
     from .operators.pheno_tools import fit_curves
+    from pyspark.sql import Window
     filled, cycles = _small_filled_cycles(spark, sf_dir, n_ids=3)
-    return fit_curves(filled, cycles, fit=("klosterman", "beck", "elmore")) \
-        .select("id", "year", "cycle", "date",
-                F.round("value_fitted", 6).alias("value_fitted"),
-                "fit_method")
+    out = fit_curves(filled, cycles,
+                     fit=("klosterman", "beck", "elmore", "no"))
+    w = Window.partitionBy("id", "year", "cycle")
+    return out.select(
+        "id", "year", "cycle", "date",
+        F.col("fit_method").isin("klosterman", "beck", "elmore", "no")
+         .alias("fm_ok"),
+        (F.min("fit_method").over(w) == F.max("fit_method").over(w))
+         .alias("fm_uniform"),
+        (F.col("value_fitted").isNotNull()
+         & ~F.isnan("value_fitted")).alias("vf_finite"))
 
 
-@register("extract_pheno_gu")
+@register("extract_pheno_gu", """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id, CAST(ts AS DATE) AS date,
+         AVG(value) AS v
+  FROM events WHERE user_id < 3 GROUP BY 1, 2)
+SELECT id, 2024 AS year, 1 AS cycle,
+       MIN(date) AS begin, MAX(date) AS "end",
+       TRUE AS ud_le_sd, TRUE AS dd_le_rd, TRUE AS bl_le_ml
+FROM daily GROUP BY id
+""")
 def q_extract_pheno_gu(spark, sf_dir):
-    """extract_pheno(method="gu"): UD/SD/DD/RD dates + maxline/baseline/
-    prr/psr/plateau_slope (extract_pheno.R:166-181; Gu et al. 2009) —
-    rows-only (NLS + tangent intersections not SQL-expressible)."""
+    """extract_pheno(method="gu"): UD/SD/DD/RD dates + maxline/baseline
+    (extract_pheno.R:166-181; Gu et al. 2009), real NLS + tangent
+    intersections with an invariant oracle.
+
+    SQL-checkable contracts of the Gu geometry (kernels/pheno.py
+    pheno_gu): the recovery tangent has positive slope, so its baseline
+    crossing precedes its maxline crossing (UD ≤ SD, both set iff
+    prr > 0); the senescence tangent has negative slope, so DD ≤ RD;
+    baseline = curve min ≤ maxline = curve max. Output row set = one row
+    per cycle with begin = cycles.begin and end = cycles.end − 1 day
+    (the [begin, end) slice, extract_pheno.R:104)."""
     from .operators.timeseries import extract_pheno
     filled, cycles = _small_filled_cycles(spark, sf_dir, n_ids=3)
     out = extract_pheno(filled, cycles, fit=("beck", "no"), method="gu")
-    return out.select("id", "year", "cycle", "begin", "end",
-                      "UD", "SD", "DD", "RD",
-                      F.round("maxline", 6).alias("maxline"),
-                      F.round("baseline", 6).alias("baseline"))
+    return out.select(
+        "id", "year", "cycle", "begin", "end",
+        F.when(F.col("UD").isNotNull() & F.col("SD").isNotNull(),
+               F.col("UD") <= F.col("SD"))
+         .otherwise(F.col("UD").isNull() & F.col("SD").isNull())
+         .alias("ud_le_sd"),
+        F.when(F.col("DD").isNotNull() & F.col("RD").isNotNull(),
+               F.col("DD") <= F.col("RD"))
+         .otherwise(F.col("DD").isNull() & F.col("RD").isNull())
+         .alias("dd_le_rd"),
+        ((F.isnan("baseline") & F.isnan("maxline"))
+         | (F.col("baseline") <= F.col("maxline") + F.lit(1e-9)))
+         .alias("bl_le_ml"))
 
 
-@register("extract_pheno_klosterman")
+@register("extract_pheno_klosterman", """
+WITH daily AS (
+  SELECT CAST(user_id AS VARCHAR) AS id, CAST(ts AS DATE) AS date,
+         AVG(value) AS v
+  FROM events WHERE user_id < 3 GROUP BY 1, 2)
+SELECT id, 2024 AS year, 1 AS cycle,
+       MIN(date) AS begin, MAX(date) AS "end",
+       TRUE AS g_le_m, TRUE AS s_le_d, TRUE AS win_ok
+FROM daily GROUP BY id
+""")
 def q_extract_pheno_klosterman(spark, sf_dir):
     """extract_pheno(method="klosterman"): Greenup/Maturity/Senescence/
-    Dormancy via curvature-change-rate extrema (Zhang et al. 2003) —
-    rows-only."""
+    Dormancy via curvature-change-rate extrema (Zhang et al. 2003), real
+    NLS + K' extrema with an invariant oracle.
+
+    SQL-checkable contracts of the extractor (kernels/pheno.py pheno_kl):
+    within each half the two strongest K' extrema are emitted in time
+    order (Greenup ≤ Maturity, Senescence ≤ Dormancy — np.sort before
+    mapping), and every transition date is an index into the fitted
+    curve, so it lands inside [begin, end] (win_ok). Row set = one row
+    per cycle, begin/end as in ``extract_pheno_gu``."""
     from .operators.timeseries import extract_pheno
     filled, cycles = _small_filled_cycles(spark, sf_dir, n_ids=3)
     out = extract_pheno(filled, cycles, fit=("beck", "no"),
                         method="klosterman")
-    return out.select("id", "year", "cycle", "begin", "end",
-                      "Greenup", "Maturity", "Senescence", "Dormancy")
+
+    def _pair_ok(a, b):
+        return (F.when(F.col(a).isNotNull() & F.col(b).isNotNull(),
+                       F.col(a) <= F.col(b))
+                 .otherwise(F.lit(True)))
+
+    def _in_win(c):
+        return (F.col(c).isNull()
+                | ((F.col(c) >= F.col("begin")) & (F.col(c) <= F.col("end"))))
+
+    return out.select(
+        "id", "year", "cycle", "begin", "end",
+        _pair_ok("Greenup", "Maturity").alias("g_le_m"),
+        _pair_ok("Senescence", "Dormancy").alias("s_le_d"),
+        (_in_win("Greenup") & _in_win("Maturity") & _in_win("Senescence")
+         & _in_win("Dormancy")).alias("win_ok"))
 
 
 @register("smooth_whittaker_series", """
