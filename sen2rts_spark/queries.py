@@ -946,7 +946,17 @@ _PRIORITY = [
     # query), full_outer_restore (J3's restore contract is value-gated on
     # real data by the row-restore term of smooth_savgol_series AND
     # smooth_whittaker_series — VERDICT r6 J3 row).
-    "filter_project", "best_agg", "global_rescale", "per_group_norm",
-    "clamp_extrapolation", "range_join_interval",
+    # r7b: the last three rows-only registry entries gained invariant
+    # oracles (queries_ts.py) and rotate IN so the C12-fallback-chain and
+    # gu/klosterman extractors are driver-gated on real data. Rotated out,
+    # each with its family still value-verified in-window:
+    # clamp_extrapolation (the C4 clamp envelope is the inb contract
+    # inside smooth_savgol_series / fill_spline_series / fit_curves_long /
+    # smooth_whittaker_series), per_group_norm (the A4/C3 per-id min-max
+    # norm is the rel CTE recomputed inside both smoothing series rows),
+    # range_join_interval (J6's equi-on-id + range-filter plan is
+    # value-gated by aggregate_pheno_windows).
+    "filter_project", "best_agg", "global_rescale",
+    "fit_curves_fallback", "extract_pheno_gu", "extract_pheno_klosterman",
     "asof_nearest", "scl_decode", "piecewise_linear_combine",
 ]
