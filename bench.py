@@ -19,8 +19,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools"))
 
 import pyspark.sql.functions as F  # noqa: E402
+
+try:  # load-steal probe for the quiet gate (hoisted — ADVICE r7)
+    from delivery_ceiling import _run as _dc_run  # noqa: E402
+    from delivery_ceiling import _spin_worker as _dc_spin  # noqa: E402
+except Exception:  # pragma: no cover - tools dir absent in a dist install
+    _dc_run = _dc_spin = None
 
 
 def _pages_path(repo_root: str, n_urls: int, n_slots: int) -> str:
@@ -89,16 +97,20 @@ def _wait_quiet(gate: dict, label: str) -> None:
         steal = _steal_pct(c0, _cpu_snap())
         probe = {"cal_sec": cal, "steal_pct": steal}
         sec["probes"].append(probe)
+        if len(sec["probes"]) > 8:   # bound the artifact: the driver keeps
+            # only the last ~4 kB of stdout; a long wait must not push the
+            # headline out of it (VERDICT r7 task 7)
+            sec["probes_dropped"] = sec.get("probes_dropped", 0) + 1
+            del sec["probes"][1]     # keep the first probe + the last 7
         if cal <= cal_max and steal <= steal_max:
             # steal is load-INDUCED on this guest: idle probes read 0% in
             # phases where a full-width load loses 2-11% (r7a scaling run).
             # Confirm with a 2 s full-width spin before accepting the window.
             try:
-                sys.path.insert(0, os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), "tools"))
-                from delivery_ceiling import _run, _spin_worker
+                if _dc_run is None:
+                    raise RuntimeError("tools probe unavailable")
                 c0 = _cpu_snap()
-                _run(os.cpu_count() or 32, _spin_worker, 2.0)
+                _dc_run(os.cpu_count() or 32, _dc_spin, 2.0)
                 probe["load_steal_pct"] = _steal_pct(c0, _cpu_snap())
             except Exception:
                 probe["load_steal_pct"] = None
@@ -106,6 +118,10 @@ def _wait_quiet(gate: dict, label: str) -> None:
                     or probe["load_steal_pct"] <= max(steal_max, 1.0)):
                 sec["accepted"] = probe
                 return
+            # the 2 s full-width spin itself adds load — cool down before
+            # the next idle probe so a rejected confirm doesn't bias it
+            # (ADVICE r7)
+            time.sleep(3.0)
         if time.time() + poll >= deadline:
             sec["accepted"] = False  # proceeding degraded, on the record
             return
@@ -412,6 +428,22 @@ def main() -> None:
         "tier_read": {k: round(v, 3) for k, v in tier_best.items()},
     }
     print(json.dumps(out))
+    # The driver's BENCH artifact keeps only the last ~4 kB of output, and
+    # the host/quiet-gate block above is long enough to push the headline
+    # off the front (r7's points_per_sec was unrecoverable from the
+    # official artifact — VERDICT r7 task 7). Re-emit the headline as the
+    # FINAL line so the tail always carries it.
+    print(json.dumps({
+        "headline": {
+            "metric": "total_sec",
+            "value": total,
+            "unit": "sec",
+            "points_per_sec": out["points_per_sec"],
+            "rolled_points": n_points,
+            "sf": out["sf"],
+            "cpus": cpus,
+        }
+    }))
     spark.stop()
 
 

@@ -845,6 +845,13 @@ def gorilla_decode_multi(data: np.ndarray, offsets: np.ndarray):
     PW = np.array([0, 7, 9, 12, 64], dtype=np.int64)
     BIAS = np.array([0, 63, 255, 2047, 0], dtype=np.int64)
     while len(pos):
+        # every token read must START inside its blob — checking before the
+        # read (not only at walk completion) keeps a corrupt count on the
+        # LAST blob from running pos past the 16-byte pad and dying with an
+        # opaque IndexError from the sliding-window gather (ADVICE r7)
+        if (pos >= endbit[slot]).any():
+            raise ValueError("gorilla timestamp stream overruns its "
+                             "blob (corrupt header count)")
         u = _read64(swv8, pos)
         pk4 = (u >> np.uint64(60)).astype(np.int64)
         cls = np.select([pk4 < 8, pk4 < 12, pk4 < 14, pk4 == 14],
@@ -888,6 +895,9 @@ def gorilla_decode_multi(data: np.ndarray, offsets: np.ndarray):
     outp = base[act0] + 1
     rem = counts[act0] - 1
     while len(pos):
+        if (pos >= endbit[slot]).any():  # see timestamp-walk note
+            raise ValueError("gorilla value stream overruns its blob "
+                             "(corrupt header count)")
         u = _read64(swv8, pos)
         c0 = (u >> np.uint64(63)).astype(np.int64)       # 1st control bit
         c1 = ((u >> np.uint64(62)) & np.uint64(1)).astype(np.int64)

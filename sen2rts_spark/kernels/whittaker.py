@@ -172,6 +172,12 @@ def _substructured_solve(ab: np.ndarray, b: np.ndarray) -> np.ndarray:
     base, rem = divmod(interior_total, K)
     sizes = np.full(K, base, dtype=np.int64)
     sizes[:rem] += 1
+    # The coupling-column writes below index local rows 0, 1 and last,
+    # last-1 unguarded — every block needs >= 4 interior rows. The m/K
+    # formulas above keep sizes >= 24 for all n >= _SUBSTRUCT_MIN_N, but
+    # fail loudly if a future re-tuning breaks that invariant (ADVICE r7).
+    assert sizes.min() >= 4, \
+        f"substructuring block too small ({sizes.min()}): retune m/K"
     starts = np.zeros(K, dtype=np.int64)
     for k in range(1, K):
         starts[k] = starts[k - 1] + sizes[k - 1] + 2

@@ -15,6 +15,7 @@ runs that straddle batch boundaries. Output equals applyInPandas (tested).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -33,8 +34,12 @@ def grouped_apply(df: DataFrame, keys: list[str], fn: Callable, schema: str,
     sorted by ``keys + order``).
     """
     # 3 tasks/core (standard sizing) — straggler/steal mitigation; groups are
-    # small relative to partitions so the extra splits don't fragment runs
-    parts = num_partitions or 3 * df.sparkSession.sparkContext.defaultParallelism
+    # small relative to partitions so the extra splits don't fragment runs.
+    # Cluster deployments can retune without code edits via
+    # SPARK_GRAFT_GROUP_PARTS_PER_CORE (VERDICT r7 task 8).
+    per_core = int(os.environ.get("SPARK_GRAFT_GROUP_PARTS_PER_CORE", "3"))
+    parts = num_partitions or \
+        per_core * df.sparkSession.sparkContext.defaultParallelism
     arranged = df.repartition(parts, *keys) \
         .sortWithinPartitions(*(keys + (order or [])))
 

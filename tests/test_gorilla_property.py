@@ -228,3 +228,18 @@ def test_decode_multi_rejects_overrun_count():
     bad[4:8] = (60).to_bytes(4, "big")   # claim 60 points, stream has 6
     with pytest.raises(ValueError, match="overrun"):
         _decode_multi_blobs([bytes(bad), good])
+
+
+def test_decode_multi_rejects_overrun_count_last_blob():
+    """Corrupt count on the LAST blob of a batch: the walk must raise the
+    typed overrun error BEFORE running off the 16-byte pad (which used to
+    surface as an opaque IndexError from the sliding-window gather —
+    ADVICE r7). A wildly inflated count makes the walk consume far past
+    the pad, so only an in-loop bound check catches it."""
+    import pytest
+    good = gorilla_encode(np.arange(6, dtype=np.int64) * 7,
+                          np.array([1.0, 2.0, 1.5, 1.5, 3.0, 2.5]))
+    bad = bytearray(good)
+    bad[4:8] = (5000).to_bytes(4, "big")  # claim 5000 points, stream has 6
+    with pytest.raises(ValueError, match="overrun"):
+        _decode_multi_blobs([good, bytes(bad)])   # corrupt blob is LAST

@@ -8,6 +8,8 @@ drops blobs, (3) the pruned read is value-identical to decode-everything-
 then-filter.
 """
 
+import re
+
 import pyspark.sql.functions as F
 
 
@@ -40,11 +42,15 @@ def test_window_prune_filter_precedes_decode(spark):
             (F.col("bucket_start") >= lo) & (F.col("bucket_start") < hi))
 
         # 1) plan shape: the envelope Filter sits below MapInArrow (runs
-        # first), so non-matching blobs never reach the Python decode
+        # first), so non-matching blobs never reach the Python decode.
+        # Anchor on the Filter NODE carrying the min_ts predicate (a bare
+        # "min_ts" search can match the encode stage's printed output
+        # schema and pass vacuously — ADVICE r7).
         plan = pts._jdf.queryExecution().executedPlan().toString()
         i_map = plan.index("MapInArrow")
-        i_filter = plan.index("min_ts")  # the envelope predicate
-        assert i_filter > i_map, "envelope filter must be a child of decode"
+        m = re.search(r"Filter .*min_ts", plan)
+        assert m is not None, "envelope Filter node missing from plan"
+        assert m.start() > i_map, "envelope filter must be a child of decode"
 
         # 2) pruning drops blobs
         n_all, n_pruned = blobs.count(), pruned.count()
