@@ -865,9 +865,26 @@ _PRIORITY = [
     # doc_fingerprint, token_count_bpe_ish. Rotated IN: the Gopher-style
     # repetition_ratio / term_doc_freq (oracled, last gated r3) and the new
     # multi-probe ANN recall path.
+    # r8 (VERDICT r7 task 5): the 18 relational micro-rows last gated r1
+    # plus weighted_mean / rolling_mean_centered / token_count (last gated
+    # r2) rotate IN — they hadn't been driver-checked through six rounds of
+    # queries.py churn. To make room, 21 r7-green rows rotate OUT, each
+    # with its family still value-verified in-window or by the micro-rows
+    # themselves: the three composites (calendar_props/series_integrity/
+    # relational_stage — their constituent micro-families now gate
+    # INDIVIDUALLY), simhash_64 / ngram_jaccard_pairs / quality_score /
+    # lang_id_heuristic / ann_cosine_topk / label_centroid_distance /
+    # media_feature_extract / repetition_ratio / term_doc_freq (docs
+    # family still gated via dedup_exact, both LSH rows, IVF+production
+    # ANN, embedding near-dup), filter_project / best_agg / global_rescale
+    # / asof_nearest / scl_decode / piecewise_linear_combine (gated green
+    # seven straight rounds; F-family inside fit_curves_long, A5 broadcast
+    # plan inside the smoothing rows' rescale contract, C5-C7 pytest
+    # golden), fit_curves_fallback / extract_pheno_gu /
+    # extract_pheno_klosterman (C12 family still gated by
+    # fit_curves_invariant + extract_pheno_gu_structural + fit_curves_long).
     "dedup_exact", "minhash_lsh_candidates",
-    "minhash_lsh_capped", "ngram_jaccard_pairs", "simhash_64",
-    "quality_score", "lang_id_heuristic",
+    "minhash_lsh_capped",
     # ann_lsh_bucketed rotated out (its single-bucket probe is a strict
     # subset of ann_multiprobe's probe set) for ann_ivf_topk, the
     # coarse-quantizer scale path. This round ann_multiprobe (hd1, 8 bits,
@@ -882,10 +899,8 @@ _PRIORITY = [
     # (uniform recall 0.48->0.58 at nprobe 4; clustered-corpus recall 1.0 —
     # BENCH/ANN_RECALL.json). The sampled variant stays in the tail +
     # bench extras.
-    "ann_cosine_topk", "ann_ivf_lloyd_topk", "ann_production_recall",
-    "label_centroid_distance",
-    "media_feature_extract", "dedup_embedding_near",
-    "repetition_ratio", "term_doc_freq",
+    "ann_ivf_lloyd_topk", "ann_production_recall",
+    "dedup_embedding_near",
     # rollup / retention / compression (queries_ts). rollup_daily rotated
     # out — its A1 weighted-mean rule is value-verified by rollup_tier_chain,
     # rollup_incremental_late AND rollup_salted_hot_id this round. New:
@@ -933,9 +948,15 @@ _PRIORITY = [
     "extract_pheno_gu_structural",
     "smooth_savgol_series", "fill_spline_series", "fit_curves_long",
     "aggregate_pheno_windows", "assign_season_topk", "detect_forages_flags",
-    # composites folding the §2 micro-families into the window
-    "calendar_props_composite", "series_integrity_composite",
-    "relational_stage_composite", "pivot_wide_accessor",
+    # the r1-gated §2 micro-rows, re-gated individually this round (the
+    # composites that folded them rotate out — see the r8 note above)
+    "string_functions", "json_extract", "pivot_wide", "semi_join",
+    "anti_join", "dop_calendar", "quantile_type1", "gcd_date_diffs",
+    "dup_detect", "date_arithmetic", "mmdd_window_wrap", "lag_diff",
+    "row_number_per_group", "lead_align_pairs", "groupby_multi_agg",
+    "quantiles_t7", "agg_fanout_melt", "union_all_stages",
+    "weighted_mean", "rolling_mean_centered", "token_count",
+    "pivot_wide_accessor",
     # structurally significant §2 operators. Rotated out (families still
     # value-verified in-window): rank_average_ties (weight ranking inside
     # assign_season_topk), local_extrema (W2/W3 via cut_cycles_structural),
@@ -956,7 +977,4 @@ _PRIORITY = [
     # norm is the rel CTE recomputed inside both smoothing series rows),
     # range_join_interval (J6's equi-on-id + range-filter plan is
     # value-gated by aggregate_pheno_windows).
-    "filter_project", "best_agg", "global_rescale",
-    "fit_curves_fallback", "extract_pheno_gu", "extract_pheno_klosterman",
-    "asof_nearest", "scl_decode", "piecewise_linear_combine",
 ]
