@@ -181,6 +181,60 @@ def ensure_blobs(spark, repo_root: str, pages_path: str,
     return path
 
 
+def ensure_year_blobs(spark, repo_root: str, n_ids: int) -> str:
+    """Materialize a DECODE-DOMINANT blob store once (VERDICT r7 task 6):
+    a year of weekly-chunked HOURLY blobs — 52 chunks/id of 168 points —
+    so a 1-week window read prunes ~98 % of decode volume and the saving
+    is visible in wall-clock, not only in the blobs_decoded counter (the
+    daily store's decode sits under the ~0.7 s scan+dispatch floor).
+    Values are a deterministic id-phased sine (no RNG, no clock)."""
+    path = os.path.join(repo_root, ".bench_cache", f"yearblobs_{n_ids}.parquet")
+    if not os.path.exists(path):
+        from sen2rts_spark.operators.gorilla_sink import encode_blobs
+        hours = 52 * 7 * 24
+        ids = spark.range(n_ids).select(
+            F.concat(F.lit("url-"), F.col("id")).alias("id"),
+            (F.crc32(F.col("id").cast("string")) % 360).alias("phase"))
+        grid = ids.crossJoin(
+            spark.range(hours).select(F.col("id").alias("h")))
+        t0 = F.to_timestamp(F.lit("2020-01-06 00:00:00"))
+        tier = grid.select(
+            "id",
+            (t0 + F.make_dt_interval(hours=F.col("h"))).alias("bucket_start"),
+            (F.sin((F.col("h") + F.col("phase")) / 24.0)
+             + F.col("h") / 1e4).alias("value"))
+        encode_blobs(tier, "hourly", chunk_days=7) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_tier_read_year(spark, blobs_path: str) -> dict[str, float]:
+    """1-week window over the year store, pruned vs naive. Same result,
+    two plans: the envelope filter drops ~51/52 chunks before decode."""
+    from sen2rts_spark.operators.gorilla_sink import decode_blobs
+    blobs = spark.read.parquet(blobs_path)
+    span = blobs.agg(F.min("min_ts").alias("a")).first()
+    lo = F.lit(span["a"]) + F.expr("INTERVAL 182 DAYS")
+    hi = F.lit(span["a"]) + F.expr("INTERVAL 189 DAYS")
+    res = {}
+    t0 = time.time()
+    decode_blobs(blobs.filter((F.col("max_ts") >= lo)
+                              & (F.col("min_ts") < hi))) \
+        .filter((F.col("bucket_start") >= lo)
+                & (F.col("bucket_start") < hi)) \
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("value").alias("s")).count()
+    res["tier_read_year_window_prune"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    decode_blobs(blobs) \
+        .filter((F.col("bucket_start") >= lo)
+                & (F.col("bucket_start") < hi)) \
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("value").alias("s")).count()
+    res["tier_read_year_window_naive"] = round(time.time() - t0, 3)
+    return res
+
+
 def bench_tier_read(spark, blobs_path: str) -> dict[str, float]:
     """Stored blobs → weekly re-aggregate, two plans: materialize-then-agg
     (decode_blobs row explosion) vs aggregate pushdown (decode_blobs_agg).
@@ -390,6 +444,15 @@ def main() -> None:
     for _ in range(reps):
         for k, v in bench_tier_read(spark, blobs_path).items():
             tier_best[k] = min(tier_best.get(k, float("inf")), v)
+    # decode-dominant shape (VERDICT r7 task 6): year of weekly hourly
+    # chunks, 1-week window — the prune's wall-clock win is visible here
+    year_ids = int(os.environ.get("SPARK_GRAFT_YEAR_IDS", "6000"))
+    year_path = ensure_year_blobs(spark, repo_root, year_ids)
+    bench_tier_read_year(spark, year_path)  # warm
+    for _ in range(reps):
+        for k, v in bench_tier_read_year(spark, year_path).items():
+            tier_best[k] = min(tier_best.get(k, float("inf")), v)
+    tier_best["tier_read_year_points_total"] = year_ids * 52 * 7 * 24
 
     total = round(sum(per_query.values()), 3)
     out = {
