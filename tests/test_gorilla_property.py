@@ -243,3 +243,58 @@ def test_decode_multi_rejects_overrun_count_last_blob():
     bad[4:8] = (5000).to_bytes(4, "big")  # claim 5000 points, stream has 6
     with pytest.raises(ValueError, match="overrun"):
         _decode_multi_blobs([good, bytes(bad)])   # corrupt blob is LAST
+
+
+# ---- Arrow offset-width handling (_blob_buffers) ---------------------------
+
+def test_blob_buffers_large_binary_offsets():
+    """_blob_buffers must read int64 offsets for large_binary (e.g. under
+    spark.sql.execution.arrow.useLargeVarTypes=true) and int32 for binary —
+    a misread width garbles every offset (ADVICE r7)."""
+    import pyarrow as pa
+    from sen2rts_spark.operators.gorilla_sink import _blob_buffers
+
+    payloads = [b"abc", b"", b"dd\x00ff", b"z" * 37]
+    for typ in (pa.binary(), pa.large_binary()):
+        batch = pa.record_batch([pa.array(payloads, type=typ)], ["blob"])
+        dat, offs = _blob_buffers(batch)
+        assert offs.dtype == np.int64 and offs[0] == 0
+        for i, p in enumerate(payloads):
+            assert dat[offs[i]:offs[i + 1]].tobytes() == p
+        # sliced batch: views must respect col.offset
+        dat2, offs2 = _blob_buffers(batch.slice(1, 2))
+        assert [dat2[offs2[i]:offs2[i + 1]].tobytes()
+                for i in range(2)] == payloads[1:3]
+
+    import pytest
+    bad = pa.record_batch([pa.array(["x"], type=pa.string())], ["blob"])
+    with pytest.raises(TypeError, match="binary"):
+        _blob_buffers(bad)
+
+
+def test_decode_blobs_under_large_var_types(spark):
+    """End-to-end encode->decode round-trip with Arrow large var types on:
+    Spark hands mapInArrow large_binary batches; values must match the
+    default-config decode bit-exactly."""
+    import pyspark.sql.functions as F
+    from sen2rts_spark.operators.gorilla_sink import encode_blobs, decode_blobs
+
+    rows = [("a", 1700000000 + 3600 * i, float(np.sin(i / 5)) + i % 3)
+            for i in range(200)] + \
+           [("b", 1700000000 + 7200 * i, 42.0 + (i % 7) * 0.125)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "id string, epoch long, value double") \
+        .select("id", F.col("epoch").cast("timestamp").alias("bucket_start"),
+                "value").withColumn("tier", F.lit("hourly"))
+    blobs = encode_blobs(df, "hourly").cache()
+
+    key = "spark.sql.execution.arrow.useLargeVarTypes"
+    prev = spark.conf.get(key, "false")
+    try:
+        spark.conf.set(key, "true")
+        big = sorted(decode_blobs(blobs).collect())
+    finally:
+        spark.conf.set(key, prev)
+    small = sorted(decode_blobs(blobs).collect())
+    blobs.unpersist()
+    assert big == small and len(big) == 290
