@@ -144,17 +144,17 @@ def ensure_pages(spark, repo_root: str, n_urls: int, n_slots: int) -> str:
 
 
 def bench_rollup_pipeline(spark, pages_path: str) -> tuple[float, int]:
-    """The north metric: pages scan → extract → daily tier → Gorilla encode."""
-    from sen2rts_spark.operators.extract import extract_obs
-    from sen2rts_spark.operators.gorilla_sink import encode_blobs
-    from sen2rts_spark.operators.rollup import rollup_raw
+    """The north metric: pages scan → extract → daily tier → Gorilla encode.
+
+    Fused single-exchange plan (operators/pipeline.py): on this ~1-obs-per-
+    group shape the default plan's three id-keyed shuffles move the same
+    rows three times; one id repartition of the parsed projection satisfies
+    every downstream clustering (plan-tested in test_fused_pipeline)."""
+    from sen2rts_spark.operators.pipeline import rollup_gorilla_pipeline
 
     t0 = time.time()
     pages = spark.read.parquet(pages_path)
-    obs = extract_obs(pages).select(
-        "id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
-    daily = rollup_raw(obs, "daily")
-    blobs = encode_blobs(daily, "daily")
+    blobs = rollup_gorilla_pipeline(pages, "daily", fused=True)
     n_points = blobs.agg(F.sum("count")).first()[0] or 0
     return time.time() - t0, int(n_points)
 

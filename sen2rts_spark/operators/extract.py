@@ -50,12 +50,24 @@ def extract_text(html_col) -> F.Column:
         .otherwise("")
 
 
-def extract_obs(pages: DataFrame, fun: str = "mean") -> DataFrame:
+def extract_obs(pages: DataFrame, fun: str = "mean",
+                partition_by_id: int | None = None) -> DataFrame:
     """pages → obs_raw(id, date, orbit, sensor, value, qa).
 
     ``fun``: 'mean' (qa-weighted mean, extract_s2ts.R:406 weighted.mean) or
     'best' (mean of observations tied at max weight, :406).
-    """
+
+    ``partition_by_id``: hash-repartition the PARSED projection (~70 B/row,
+    not the raw html) on ``id`` into this many partitions before the
+    aggregate. HashPartitioning(id) satisfies the ClusteredDistribution of
+    this groupBy AND of every downstream id-keyed stage (rollup tiers,
+    Gorilla encode), so the whole extract→rollup→encode chain runs on this
+    ONE exchange instead of three (plan-tested: test_fused_pipeline).
+    Worth it when group cardinality ≈ row count (the web-crawl dedup shape,
+    ~1 obs per (id, date) group — map-side partial agg has nothing to
+    combine, so the default plan's per-groupBy exchanges move the same
+    rows twice more). Leave None where heavy duplication makes map-side
+    combining on the full group key shrink the shuffle instead."""
     txt = extract_text(F.col("html"))
     parsed = pages.select(
         F.col("url").alias("id"),
@@ -73,6 +85,9 @@ def extract_obs(pages: DataFrame, fun: str = "mean") -> DataFrame:
     ).withColumn(
         "w", combine_weights(scl_weight(F.col("qclass")), cld_weight(F.col("cld")))
     )
+    if partition_by_id:
+        parsed = parsed.drop("text_x", "metric_s", "qclass", "cld") \
+            .repartition(partition_by_id, "id")
 
     grp = parsed.groupBy("id", "date", "orbit", "sensor")
     if fun == "mean":

@@ -24,7 +24,8 @@ BLOB_SCHEMA = ("id string, tier string, chunk_start timestamp, blob binary, "
 
 
 def encode_blobs(tier_df: DataFrame, tier: str, chunk_days: int = 366,
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 clustered: bool = False) -> DataFrame:
     """Rollup tier → one Gorilla blob per (id, chunk_days window).
 
     Hash-partitioned on (id, chunk), sorted within partitions, then a single
@@ -38,17 +39,27 @@ def encode_blobs(tier_df: DataFrame, tier: str, chunk_days: int = 366,
     decode+groupBy plan (Spark orders NaN largest). Rollup tiers are
     count>0 means over raw observations, so NaN never occurs in the
     supported pipeline; callers feeding arbitrary series must filter first.
+
+    ``clustered=True``: the caller guarantees ``tier_df`` is already
+    hash-partitioned on ``id`` (e.g. via rollup_raw/extract_obs
+    ``partition_by_id``) — skip this sink's repartition so the whole
+    extract→rollup→encode chain keeps its single upstream exchange; only
+    the within-partition sort runs here. All rows of an id share a
+    partition under any id-subset partitioning, so every (id, chunk) group
+    is intact; correctness is byte-identical (tested) — only the exchange
+    is elided.
     """
     chunk_secs = chunk_days * 86400
     with_chunk = tier_df.withColumn(
         "chunk", F.window("bucket_start", f"{chunk_secs} seconds")["start"])
-    # 3 tasks/core (standard sizing): a straggling core delays the stage by
-    # ~1/3 task instead of a whole partition's worth of work
-    parts = num_partitions or \
-        3 * tier_df.sparkSession.sparkContext.defaultParallelism
-    arranged = with_chunk.select("id", "chunk", "bucket_start", "value") \
-        .repartition(parts, "id", "chunk") \
-        .sortWithinPartitions("id", "chunk", "bucket_start")
+    arranged = with_chunk.select("id", "chunk", "bucket_start", "value")
+    if not clustered:
+        # 3 tasks/core (standard sizing): a straggling core delays the stage
+        # by ~1/3 task instead of a whole partition's worth of work
+        parts = num_partitions or \
+            3 * tier_df.sparkSession.sparkContext.defaultParallelism
+        arranged = arranged.repartition(parts, "id", "chunk")
+    arranged = arranged.sortWithinPartitions("id", "chunk", "bucket_start")
 
     import pyarrow as pa
 

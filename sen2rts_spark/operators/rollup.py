@@ -31,11 +31,20 @@ def _finish(df: DataFrame) -> DataFrame:
 
 def rollup_raw(obs: DataFrame, tier: str = "hourly",
                ts_col: str = "ts", id_col: str = "id",
-               value_col: str = "value", qa_col: str = "qa") -> DataFrame:
-    """Raw observations → first tier. Weight = qa + 1e-9 (A1)."""
+               value_col: str = "value", qa_col: str = "qa",
+               partition_by_id: int | None = None) -> DataFrame:
+    """Raw observations → first tier. Weight = qa + 1e-9 (A1).
+
+    ``partition_by_id``: hash-repartition the 4-column projection on ``id``
+    first — HashPartitioning(id) satisfies this groupBy's clustering AND
+    every coarser tier's, so a whole hourly→daily→weekly chain re-aggregates
+    exchange-free after this one shuffle (the default plan shuffles once per
+    tier because each tier's (id, window) partitioning is not a subset of
+    the next tier's keys). Use when obs flows straight into a tier chain
+    and/or the Gorilla sink; see extract_obs for the cardinality caveat."""
     secs = TIER_SECONDS[tier]
     w = F.coalesce(F.col(qa_col).cast("double"), F.lit(0.0)) + F.lit(1e-9)
-    out = (
+    sel = (
         obs.select(
             F.col(id_col).alias("id"),
             F.col(ts_col).alias("ts"),
@@ -43,7 +52,11 @@ def rollup_raw(obs: DataFrame, tier: str = "hourly",
             w.alias("w"),
         )
         .filter(F.col("v").isNotNull())
-        .groupBy("id", F.window("ts", f"{secs} seconds").alias("win"))
+    )
+    if partition_by_id:
+        sel = sel.repartition(partition_by_id, "id")
+    out = (
+        sel.groupBy("id", F.window("ts", f"{secs} seconds").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("count"),
             F.sum("w").alias("wsum"),

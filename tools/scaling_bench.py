@@ -34,9 +34,7 @@ import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 import pyspark.sql.functions as F
 from sen2rts_spark.session import get_spark, prewarm_python_workers
-from sen2rts_spark.operators.extract import extract_obs
-from sen2rts_spark.operators.rollup import rollup_raw
-from sen2rts_spark.operators.gorilla_sink import encode_blobs
+from sen2rts_spark.operators.pipeline import rollup_gorilla_pipeline
 
 cores = int(sys.argv[1]); pages_path = sys.argv[2]
 conc = int(sys.argv[3]) if len(sys.argv) > 3 else 1
@@ -65,8 +63,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 def run_pipeline():
     pages = spark.read.parquet(pages_path)
-    obs = extract_obs(pages).select("id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
-    blobs = encode_blobs(rollup_raw(obs, "daily"), "daily")
+    blobs = rollup_gorilla_pipeline(pages, "daily", fused=True)
     return blobs.agg(F.sum("count")).first()[0]
 
 def run_load():
@@ -87,8 +84,7 @@ def run_fixed():
     # overhead that does NOT shrink with cores (driver planning, job/stage
     # scheduling, Python-worker dispatch floor). scalable_sec = sec - this.
     pages = spark.read.parquet(tiny_path)
-    obs = extract_obs(pages).select("id", F.col("date").cast("timestamp").alias("ts"), "value", "qa")
-    blobs = encode_blobs(rollup_raw(obs, "daily"), "daily")
+    blobs = rollup_gorilla_pipeline(pages, "daily", fused=True)
     t0 = time.time()
     blobs.agg(F.sum("count")).first()
     return time.time() - t0
