@@ -844,48 +844,53 @@ def gorilla_decode_multi(data: np.ndarray, offsets: np.ndarray):
     PLEN = np.array([1, 2, 3, 4, 4], dtype=np.int64)
     PW = np.array([0, 7, 9, 12, 64], dtype=np.int64)
     BIAS = np.array([0, 63, 255, 2047, 0], dtype=np.int64)
-    while len(pos):
-        # every token read must START inside its blob — checking before the
-        # read (not only at walk completion) keeps a corrupt count on the
-        # LAST blob from running pos past the 16-byte pad and dying with an
-        # opaque IndexError from the sliding-window gather (ADVICE r7)
-        if (pos >= endbit[slot]).any():
-            raise ValueError("gorilla timestamp stream overruns its "
-                             "blob (corrupt header count)")
-        u = _read64(swv8, pos)
-        pk4 = (u >> np.uint64(60)).astype(np.int64)
-        cls = np.select([pk4 < 8, pk4 < 12, pk4 < 14, pk4 == 14],
-                        [0, 1, 2, 3], 4)
-        plen, pw = PLEN[cls], PW[cls]
-        pay = np.zeros(len(pos), dtype=np.int64)
-        small = (cls >= 1) & (cls <= 3)   # prefix+payload <= 16 bits: 1 read
-        if small.any():
-            wsm = np.where(small, pw, 1).astype(np.uint64)
-            pay_s = ((u << plen.astype(np.uint64))
-                     >> (np.uint64(64) - wsm)).astype(np.int64)
-            pay = np.where(small, pay_s - BIAS[cls], pay)
-        big = cls == 4                    # 64-bit raw dod: two 32-bit reads
-        if big.any():
-            bp = pos[big] + 4
-            hi32 = _read64(swv8, bp) >> np.uint64(32)
-            lo32 = _read64(swv8, bp + 32) >> np.uint64(32)
-            pay[big] = ((hi32 << np.uint64(32)) | lo32).view(np.int64)
-        delta += pay
-        t += delta
-        ts[outp] = t
-        pos += plen + pw
-        outp += 1
-        rem -= 1
-        done = rem == 0
-        if done.any():
-            if (pos[done] > endbit[slot[done]]).any():
-                raise ValueError("gorilla timestamp stream overruns its "
-                                 "blob (corrupt header count)")
-            vstart[slot[done]] = pos[done]
-            keep = ~done
-            slot, pos, t = slot[keep], pos[keep], t[keep]
-            delta, outp, rem = delta[keep], outp[keep], rem[keep]
+    # Corrupt-count containment (ADVICE r7) kept OFF the hot path:
+    # each retirement checks pos <= endbit below (the walk is
+    # finite — `rem` bounds emissions), which catches counts that
+    # over-read into the next blob or the pad. A runaway count on
+    # the LAST blob can additionally run the _read64 gather past
+    # the 16-byte pad before retiring; translate that IndexError
+    # into the same typed error. (A per-iteration pos>=endbit
+    # pre-read check cost 14-22% on decode-heavy bench rows.)
+    try:
+        while len(pos):
+            u = _read64(swv8, pos)
+            pk4 = (u >> np.uint64(60)).astype(np.int64)
+            cls = np.select([pk4 < 8, pk4 < 12, pk4 < 14, pk4 == 14],
+                            [0, 1, 2, 3], 4)
+            plen, pw = PLEN[cls], PW[cls]
+            pay = np.zeros(len(pos), dtype=np.int64)
+            small = (cls >= 1) & (cls <= 3)   # prefix+payload <= 16 bits: 1 read
+            if small.any():
+                wsm = np.where(small, pw, 1).astype(np.uint64)
+                pay_s = ((u << plen.astype(np.uint64))
+                         >> (np.uint64(64) - wsm)).astype(np.int64)
+                pay = np.where(small, pay_s - BIAS[cls], pay)
+            big = cls == 4                    # 64-bit raw dod: two 32-bit reads
+            if big.any():
+                bp = pos[big] + 4
+                hi32 = _read64(swv8, bp) >> np.uint64(32)
+                lo32 = _read64(swv8, bp + 32) >> np.uint64(32)
+                pay[big] = ((hi32 << np.uint64(32)) | lo32).view(np.int64)
+            delta += pay
+            t += delta
+            ts[outp] = t
+            pos += plen + pw
+            outp += 1
+            rem -= 1
+            done = rem == 0
+            if done.any():
+                if (pos[done] > endbit[slot[done]]).any():
+                    raise ValueError("gorilla timestamp stream overruns its "
+                                     "blob (corrupt header count)")
+                vstart[slot[done]] = pos[done]
+                keep = ~done
+                slot, pos, t = slot[keep], pos[keep], t[keep]
+                delta, outp, rem = delta[keep], outp[keep], rem[keep]
 
+    except IndexError:
+        raise ValueError("gorilla timestamp stream overruns its "
+                         "blob (corrupt header count)") from None
     # ---- lockstep value walk ('0' repeat | '10' reuse | '11' window) ----
     slot = np.arange(A)
     pos = vstart.copy()
@@ -894,38 +899,47 @@ def gorilla_decode_multi(data: np.ndarray, offsets: np.ndarray):
     mean = np.zeros(A, dtype=np.int64)    # 0 until the first '11' header
     outp = base[act0] + 1
     rem = counts[act0] - 1
-    while len(pos):
-        if (pos >= endbit[slot]).any():  # see timestamp-walk note
-            raise ValueError("gorilla value stream overruns its blob "
-                             "(corrupt header count)")
-        u = _read64(swv8, pos)
-        c0 = (u >> np.uint64(63)).astype(np.int64)       # 1st control bit
-        c1 = ((u >> np.uint64(62)) & np.uint64(1)).astype(np.int64)
-        is_new = (c0 == 1) & (c1 == 1)
-        if is_new.any():
-            hdr12 = ((u << np.uint64(2)) >> np.uint64(52)).astype(np.int64)
-            lead = np.where(is_new, hdr12 >> 6, lead)
-            mean = np.where(is_new, (hdr12 & 63) + 1, mean)
-        is_rep = c0 == 0
-        skip = np.where(is_rep, 1, np.where(is_new, 14, 2))
-        has_pay = ~is_rep & (mean > 0)
-        if has_pay.any():
-            w = np.where(has_pay, mean, 1)
-            pay = _read_bits(swv8, pos + skip, w)
-            shift = np.clip(64 - lead - mean, 0, 63).astype(np.uint64)
-            prev = np.where(has_pay, prev ^ (pay << shift), prev)
-        vb[outp] = prev
-        pos += np.where(is_rep, 1, skip + mean)
-        outp += 1
-        rem -= 1
-        keep = rem > 0
-        if not keep.all():
-            fin = ~keep
-            if (pos[fin] > endbit[slot[fin]]).any():
-                raise ValueError("gorilla value stream overruns its blob "
-                                 "(corrupt header count)")
-            slot, pos, prev = slot[keep], pos[keep], prev[keep]
-            lead, mean = lead[keep], mean[keep]
-            outp, rem = outp[keep], rem[keep]
+    # Corrupt-count containment (ADVICE r7) kept OFF the hot path:
+    # each retirement checks pos <= endbit below (the walk is
+    # finite — `rem` bounds emissions), which catches counts that
+    # over-read into the next blob or the pad. A runaway count on
+    # the LAST blob can additionally run the _read64 gather past
+    # the 16-byte pad before retiring; translate that IndexError
+    # into the same typed error. (A per-iteration pos>=endbit
+    # pre-read check cost 14-22% on decode-heavy bench rows.)
+    try:
+        while len(pos):
+            u = _read64(swv8, pos)
+            c0 = (u >> np.uint64(63)).astype(np.int64)       # 1st control bit
+            c1 = ((u >> np.uint64(62)) & np.uint64(1)).astype(np.int64)
+            is_new = (c0 == 1) & (c1 == 1)
+            if is_new.any():
+                hdr12 = ((u << np.uint64(2)) >> np.uint64(52)).astype(np.int64)
+                lead = np.where(is_new, hdr12 >> 6, lead)
+                mean = np.where(is_new, (hdr12 & 63) + 1, mean)
+            is_rep = c0 == 0
+            skip = np.where(is_rep, 1, np.where(is_new, 14, 2))
+            has_pay = ~is_rep & (mean > 0)
+            if has_pay.any():
+                w = np.where(has_pay, mean, 1)
+                pay = _read_bits(swv8, pos + skip, w)
+                shift = np.clip(64 - lead - mean, 0, 63).astype(np.uint64)
+                prev = np.where(has_pay, prev ^ (pay << shift), prev)
+            vb[outp] = prev
+            pos += np.where(is_rep, 1, skip + mean)
+            outp += 1
+            rem -= 1
+            keep = rem > 0
+            if not keep.all():
+                fin = ~keep
+                if (pos[fin] > endbit[slot[fin]]).any():
+                    raise ValueError("gorilla value stream overruns its blob "
+                                     "(corrupt header count)")
+                slot, pos, prev = slot[keep], pos[keep], prev[keep]
+                lead, mean = lead[keep], mean[keep]
+                outp, rem = outp[keep], rem[keep]
 
+    except IndexError:
+        raise ValueError("gorilla value stream overruns its "
+                         "blob (corrupt header count)") from None
     return counts, ts, vb.view(np.float64)

@@ -99,15 +99,21 @@ def main() -> int:
                     os.kill(p, signal.SIGCONT)
                 except ProcessLookupError:
                     pass
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-        if r.returncode != 0 or not line:
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if r.returncode != 0 or not lines:
             print("bench failed:", r.returncode, r.stderr[-2000:], flush=True)
             return 1
+        # bench.py re-emits the bare headline as its FINAL line so the
+        # driver's 4 kB tail keeps it (r7 task 7); the FULL artifact is the
+        # line that carries the per-query map — pick that one, not [-1]
+        full = [ln for ln in lines if '"queries"' in ln]
+        art = (full or lines)[-1]
         with open(os.path.join(REPO, args.out) if not os.path.isabs(args.out)
                   else args.out, "w") as f:
-            f.write(line[-1] + "\n")
+            f.write(art + "\n")
         print("bench JSON ->", args.out, flush=True)
-        print(json.dumps(json.loads(line[-1])["host"], indent=1), flush=True)
+        parsed = json.loads(art)
+        print(json.dumps(parsed.get("host", parsed), indent=1), flush=True)
         return 0
     print("no quiet window before deadline", flush=True)
     return 2

@@ -288,23 +288,43 @@ def main():
             if os.environ.get("SPARK_GRAFT_SCALING_SANDWICH", "") == "1":
                 wide_steal = _load_steal(levels[-1])
                 probe_log[-1]["load_steal_pct"] = round(wide_steal, 2)
-                if wide_steal >= float(os.environ.get(
-                        "SPARK_GRAFT_SCALING_STEAL_CAP", "2.0")):
+                # delivered-bandwidth phase probe (r8): the fused pipeline's
+                # pair efficiency tracks the WIDE level's delivered memory
+                # bandwidth (r8a: hi reps at 806-852k pts/s -> eff 0.80-0.82,
+                # hi reps at 756-765k -> 0.69-0.77, identical cal/steal/busy
+                # across all six). cal + steal probes cannot see these
+                # lean-bandwidth host phases (single-thread cal is cache-
+                # resident; steal is load-induced but CPU-side). Probe the
+                # same instrument delivery_ceiling.py characterized: a 2.5 s
+                # full-wide numpy stream, healthy phase ~100 GB/s at 16-wide
+                # (BENCH/CEILING_4_to_16.json), lean phases roughly half.
+                # Every reading is logged; skipped phases still yield a
+                # forced evidence-only pair every 4th consecutive skip.
+                from delivery_ceiling import _run as _dc_run, _stream_worker
+                bw = _dc_run(levels[-1], _stream_worker, 2.5)
+                probe_log[-1]["stream_bw_gbs"] = round(bw / 1e9, 1)
+                bw_floor = float(os.environ.get(
+                    "SPARK_GRAFT_SCALING_BW_FLOOR_GBS", "75"))
+                steal_bad = wide_steal >= float(os.environ.get(
+                    "SPARK_GRAFT_SCALING_STEAL_CAP", "2.0"))
+                bw_bad = bw < bw_floor * 1e9
+                if steal_bad or bw_bad:
                     nskip += 1
                     # every 4th consecutive skip, run the pair anyway: it
                     # will fail the acceptance gate but still yields the
                     # fixed/scalable decomposition + steal-adjusted numbers
                     # (a night of pure skips produces zero evidence — r7a)
+                    reason = (f"load-steal {wide_steal:.1f}%" if steal_bad
+                              else f"stream bw {bw / 1e9:.0f} GB/s < "
+                                   f"{bw_floor:.0f} floor")
                     if nskip % 4 != 0:
                         probe_log[-1]["accepted"] = False
-                        print(f"    load-steal probe {wide_steal:.1f}% -> "
-                              f"wait (wide load cannot get clean CPU)",
-                              flush=True)
+                        print(f"    {reason} -> wait (wide load cannot get "
+                              f"clean delivery)", flush=True)
                         time.sleep(30)
                         continue
-                    print(f"    load-steal probe {wide_steal:.1f}% but "
-                          f"{nskip} consecutive skips -> forced pair "
-                          f"(evidence-only)", flush=True)
+                    print(f"    {reason} but {nskip} consecutive skips -> "
+                          f"forced pair (evidence-only)", flush=True)
                 else:
                     nskip = 0
                 # sandwich rep order lo, hi, lo: a pair spans ~3-5 min and
@@ -320,6 +340,12 @@ def main():
                 s1 = children[lo].run_once()
                 sh = children[hi].run_once()
                 s2 = children[lo].run_once()
+                # bandwidth bracket: the pre-pair stream probe validated the
+                # phase at pair START; the lo-rep drift bracket only sees
+                # narrow-side flips, so re-probe after the pair — a phase
+                # that went lean mid-pair degraded the wide rep invisibly.
+                bw_post = _dc_run(levels[-1], _stream_worker, 2.5)
+                bw_pair_ok = (not bw_bad) and bw_post >= bw_floor * 1e9
                 drift = abs(s1["pps"] - s2["pps"]) / max(s1["pps"], s2["pps"])
                 # the narrow brackets validate the narrow side; the wide
                 # rep's own /proc/stat steal validates the wide side (run E
@@ -335,11 +361,13 @@ def main():
                 amb_ok = all(
                     r.get("busy_cpus", 0) <= r["cores"] + busy_slack
                     for r in (s1, sh, s2))
-                ok = drift < 0.10 and sh["steal_pct"] < steal_cap and amb_ok
+                ok = (drift < 0.10 and sh["steal_pct"] < steal_cap
+                      and amb_ok and bw_pair_ok)
                 why = ("OK" if ok else
                        "REJECT (ambient load)" if not amb_ok else
                        "REJECT (wide-rep steal)"
                        if sh["steal_pct"] >= steal_cap else
+                       "REJECT (lean-bandwidth phase)" if not bw_pair_ok else
                        "REJECT (phase moved mid-pair)")
                 print(f"pair {npair} local[{lo}]: {s1['sec']:.1f}s/"
                       f"{s2['sec']:.1f}s ({drift * 100:.1f}% drift) "
@@ -347,10 +375,13 @@ def main():
                       f"{sh['pps'] / 1000:.0f}k pts/s "
                       f"steal {sh['steal_pct']}% "
                       f"busy {[r.get('busy_cpus') for r in (s1, sh, s2)]} "
+                      f"bw {bw / 1e9:.0f}/{bw_post / 1e9:.0f} GB/s "
                       f"-> {why}", flush=True)
                 probe_log.append({
                     "t": round(time.time() - t_start, 1), "sandwich": npair,
                     "lo_reps": [s1, s2], "hi_rep": sh,
+                    "stream_bw_gbs": round(bw / 1e9, 1),
+                    "stream_bw_post_gbs": round(bw_post / 1e9, 1),
                     "drift_pct": round(100 * drift, 1), "accepted": ok,
                     "why": why})
                 # per-pair fixed/scalable decomposition (VERDICT r6 task 1):
@@ -389,6 +420,16 @@ def main():
                 if ok:
                     samples[lo].append(mean_lo)
                     samples[hi].append(sh)
+                # checkpoint after every pair: the r8a collector died with
+                # its launching session and the artifact (written only at
+                # loop exit) was lost — recovered from the console log, but
+                # the log has no lo-rep steal. Cheap insurance.
+                ckpt = {"protocol": "auto_quiet_window_sandwich",
+                        "checkpoint": True, "concurrency": conc,
+                        "probes": probe_log}
+                with open(os.path.join(REPO, "BENCH",
+                                       "SCALING_INPROGRESS.json"), "w") as f:
+                    json.dump(ckpt, f, indent=2)
                 continue
             order = levels if npair % 2 == 0 else tuple(reversed(levels))
             npair += 1

@@ -30,7 +30,9 @@ import sys
 PAIR_RE = re.compile(
     r"pair (\d+) local\[(\d+)\]: ([\d.]+)s/([\d.]+)s \(([\d.]+)% drift\) "
     r"local\[(\d+)\]: ([\d.]+)s (\d+)k pts/s steal ([\d.]+)% "
-    r"busy \[([\d.]+), ([\d.]+), ([\d.]+)\] -> (OK|REJECT[^\n\r]*?)(?=\s*$|\s*\[)",
+    r"busy \[([\d.]+), ([\d.]+), ([\d.]+)\] "
+    r"(?:bw ([\d.]+)/([\d.]+) GB/s )?"  # r8+: bandwidth bracket readings
+    r"-> (OK|REJECT[^\n\r]*?)(?=\s*$|\s*\[)",
     re.M)
 DECOMP_RE = re.compile(
     r"decomposition: fixed ([\d.]+)s/([\d.]+)s eff_raw ([\d.]+) "
@@ -46,7 +48,7 @@ def recover(log_path: str, points: int) -> dict:
     probes = []
     for i, p in enumerate(pairs):
         (n, lo_w, s1, s2, drift, hi_w, sh, pps_k, steal,
-         b1, b2, b3, why) = p
+         b1, b2, b3, bw_pre, bw_post, why) = p
         lo_w, hi_w = int(lo_w), int(hi_w)
         s1, s2, sh = float(s1), float(s2), float(sh)
         why = why.strip()
@@ -64,6 +66,8 @@ def recover(log_path: str, points: int) -> dict:
             "drift_pct": float(drift),
             "accepted": why == "OK",
             "why": why,
+            **({"stream_bw_gbs": float(bw_pre),
+                "stream_bw_post_gbs": float(bw_post)} if bw_pre else {}),
             "note": ("recovered from console log; lo-rep steal not "
                      "printed per-rep -> recorded 0.0 (pairs with lo "
                      "steal were already folded into the printed "
@@ -108,9 +112,14 @@ def recover(log_path: str, points: int) -> dict:
     sand = [p for p in probes if "eff_raw" in p]
     if sand:
         med = statistics.median
+        acc_sand = [p for p in sand if p["accepted"]]
         out["all_pairs"] = {
             "n": len(sand),
-            "n_accepted": sum(1 for p in sand if p["accepted"]),
+            "n_accepted": len(acc_sand),
+            # medians over ALL decomposition-bearing pairs (incl. rejected);
+            # the accepted-only raw median is the north-rule number
+            "eff_raw_median_accepted": round(
+                med(p["eff_raw"] for p in acc_sand), 3) if acc_sand else None,
             "eff_raw_median": round(med(p["eff_raw"] for p in sand), 3),
             "eff_steal_adj_median": round(
                 med(p["eff_steal_adj"] for p in sand), 3),
