@@ -27,8 +27,9 @@ import pyspark.sql.functions as F  # noqa: E402
 try:  # load-steal probe for the quiet gate (hoisted — ADVICE r7)
     from delivery_ceiling import _run as _dc_run  # noqa: E402
     from delivery_ceiling import _spin_worker as _dc_spin  # noqa: E402
+    from delivery_ceiling import stream_bw as _dc_bw  # noqa: E402
 except Exception:  # pragma: no cover - tools dir absent in a dist install
-    _dc_run = _dc_spin = None
+    _dc_run = _dc_spin = _dc_bw = None
 
 
 def _pages_path(repo_root: str, n_urls: int, n_slots: int) -> str:
@@ -116,6 +117,17 @@ def _wait_quiet(gate: dict, label: str) -> None:
                 probe["load_steal_pct"] = None
             if (probe["load_steal_pct"] is None
                     or probe["load_steal_pct"] <= max(steal_max, 1.0)):
+                # delivered-bandwidth reading (r8): decode/Arrow-heavy rows
+                # track the host's lean-bandwidth phases, which cal + steal
+                # cannot see (r8a scaling run); recording the full-wide
+                # stream rate at window acceptance makes cross-round
+                # per-query diffs attributable to bandwidth phase vs code.
+                # Healthy phase 174-238 GB/s at 16-wide (r8, warmed).
+                try:
+                    bw = _dc_bw(os.cpu_count() or 32)
+                    probe["stream_bw_gbs"] = round(bw / 1e9, 1)
+                except Exception:
+                    probe["stream_bw_gbs"] = None
                 sec["accepted"] = probe
                 return
             # the 2 s full-width spin itself adds load — cool down before
@@ -423,6 +435,14 @@ def main() -> None:
         per_query[name] = round(best, 3)
     suite_cal1 = _calibrate()
     suite_steal = _steal_pct(suite_c0, _cpu_snap())
+    # end-of-suite delivered-bandwidth reading, pairing the quiet-gate
+    # acceptance readings: a run whose decode-heavy rows drifted while bw
+    # dropped mid-run is a host phase, not a code regression (r8)
+    try:
+        suite_bw = (round(_dc_bw(os.cpu_count() or 32) / 1e9, 1)
+                    if _dc_bw is not None else None)
+    except Exception:
+        suite_bw = None
 
     # round-5 operator additions (not in total)
     extra: dict[str, float] = {}
@@ -479,6 +499,7 @@ def main() -> None:
             "roll_min_first_reps": round(min(roll_secs[:reps]), 3),
             "suite_cal_sec": [suite_cal0, suite_cal1],
             "suite_steal_pct": suite_steal,
+            "suite_stream_bw_gbs": suite_bw,
             # quiet-window gate decisions (accepted probe cal/steal per
             # timed section, or False if the deadline forced a degraded
             # run) — VERDICT r5 task 9

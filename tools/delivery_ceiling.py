@@ -62,6 +62,32 @@ def _stream_worker(dur: float, out):
     out.put(n)
 
 
+def _stream_warm_worker(dur: float, out):
+    # _stream_worker with an in-process untimed warm loop: spawning fresh
+    # processes per probe puts 512 MiB of first-touch page faults inside
+    # (or racing) the timed window, which read 3-80 GB/s on an idle box.
+    # Faulting everything in and streaming untimed for 1.5 s first gives
+    # 174-238 GB/s repeatably at 16-wide on a healthy phase (r8).
+    import numpy as np
+    src = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MiB
+    dst = np.empty_like(src)
+    t_end = time.perf_counter() + 1.5
+    while time.perf_counter() < t_end:
+        np.copyto(dst, src)
+    t_end = time.perf_counter() + dur
+    n = 0
+    while time.perf_counter() < t_end:
+        np.copyto(dst, src)
+        n += src.nbytes * 2  # read + write
+    out.put(n)
+
+
+def stream_bw(width: int, dur: float = 2.0) -> float:
+    """Delivered memory bandwidth (bytes/s) at `width` streams, warmed.
+    The host-phase instrument for the scaling collector and bench gate."""
+    return _run(width, _stream_warm_worker, dur)
+
+
 def _run(width: int, worker, dur: float = 8.0) -> float:
     q = mp.Queue()
     procs = [mp.Process(target=worker, args=(dur, q)) for _ in range(width)]

@@ -295,16 +295,17 @@ def main():
                 # across all six). cal + steal probes cannot see these
                 # lean-bandwidth host phases (single-thread cal is cache-
                 # resident; steal is load-induced but CPU-side). Probe the
-                # same instrument delivery_ceiling.py characterized: a 2.5 s
-                # full-wide numpy stream, healthy phase ~100 GB/s at 16-wide
-                # (BENCH/CEILING_4_to_16.json), lean phases roughly half.
+                # same instrument delivery_ceiling.py characterizes: a 2 s
+                # full-wide numpy stream with an in-process warm loop (cold
+                # processes read 3-80 GB/s from first-touch faults alone),
+                # healthy phase 174-238 GB/s at 16-wide on this box (r8).
                 # Every reading is logged; skipped phases still yield a
                 # forced evidence-only pair every 4th consecutive skip.
-                from delivery_ceiling import _run as _dc_run, _stream_worker
-                bw = _dc_run(levels[-1], _stream_worker, 2.5)
+                from delivery_ceiling import stream_bw
+                bw = stream_bw(levels[-1])
                 probe_log[-1]["stream_bw_gbs"] = round(bw / 1e9, 1)
                 bw_floor = float(os.environ.get(
-                    "SPARK_GRAFT_SCALING_BW_FLOOR_GBS", "75"))
+                    "SPARK_GRAFT_SCALING_BW_FLOOR_GBS", "120"))
                 steal_bad = wide_steal >= float(os.environ.get(
                     "SPARK_GRAFT_SCALING_STEAL_CAP", "2.0"))
                 bw_bad = bw < bw_floor * 1e9
@@ -344,7 +345,7 @@ def main():
                 # phase at pair START; the lo-rep drift bracket only sees
                 # narrow-side flips, so re-probe after the pair — a phase
                 # that went lean mid-pair degraded the wide rep invisibly.
-                bw_post = _dc_run(levels[-1], _stream_worker, 2.5)
+                bw_post = stream_bw(levels[-1])
                 bw_pair_ok = (not bw_bad) and bw_post >= bw_floor * 1e9
                 drift = abs(s1["pps"] - s2["pps"]) / max(s1["pps"], s2["pps"])
                 # the narrow brackets validate the narrow side; the wide
