@@ -23,7 +23,10 @@ def main():
     pooled: dict[str, list] = {}
     print(f"{'file':38s} {'protocol':28s} {'pair':7s} "
           f"{'median':7s} per-pair raw")
+    skip = {"SCALING.json", "SCALING_INPROGRESS.json"}
     for path in sorted(glob.glob(os.path.join(BENCH, "SCALING*.json"))):
+        if os.path.basename(path) in skip:
+            continue
         with open(path) as f:
             d = json.load(f)
         proto = d.get("protocol", "?")
@@ -51,6 +54,8 @@ def main():
     accepted: dict[str, list] = {}
     current_gate: dict[str, list] = {}
     for path in sorted(glob.glob(os.path.join(BENCH, "SCALING_*.json"))):
+        if os.path.basename(path) in skip:
+            continue
         with open(path) as f:
             d = json.load(f)
         if not str(d.get("protocol", "")).endswith("_sandwich"):
@@ -83,6 +88,8 @@ def main():
     # Python-worker dispatch floor) from both sides
     decomp: dict[str, dict[str, list]] = {}
     for path in sorted(glob.glob(os.path.join(BENCH, "SCALING_*.json"))):
+        if os.path.basename(path) in skip:
+            continue
         with open(path) as f:
             d = json.load(f)
         for pr in d.get("probes", []):
