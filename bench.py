@@ -331,6 +331,7 @@ EXTRA_QUERIES = [
     "ann_multiprobe",
     "rollup_distinct_sketch",
     "ann_production_recall",
+    "dedup_cluster",
 ]
 
 

@@ -883,8 +883,19 @@ _PRIORITY = [
     # golden), fit_curves_fallback / extract_pheno_gu /
     # extract_pheno_klosterman (C12 family still gated by
     # fit_curves_invariant + extract_pheno_gu_structural + fit_curves_long).
-    "dedup_exact", "minhash_lsh_candidates",
+    "dedup_exact",
     "minhash_lsh_capped",
+    # r8 (new operator): duplicate-cluster assignment — distributed
+    # connected components (min-label propagation + pointer jumping) over
+    # the LSH candidate graph, recursive-CTE oracle. The final step of a
+    # production near-dedup pipeline: pairs -> clusters -> survivors.
+    # minhash_lsh_candidates rotates OUT to make room: dedup_cluster runs
+    # the IDENTICAL candidate subtree (q_minhash_lsh_candidates is its
+    # input) and its oracle recomputes the full pair set inside the
+    # recursive CTE, so any drift in the candidate values changes cluster
+    # assignments and fails this row; the exhaustive pair emission also
+    # stays gated via minhash_lsh_capped's <=cap buckets and benched.
+    "dedup_cluster",
     # ann_lsh_bucketed rotated out (its single-bucket probe is a strict
     # subset of ann_multiprobe's probe set) for ann_ivf_topk, the
     # coarse-quantizer scale path. This round ann_multiprobe (hd1, 8 bits,

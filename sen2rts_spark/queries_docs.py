@@ -233,6 +233,60 @@ def q_minhash_lsh_capped(spark, sf_dir):
     return _lsh_candidate_pairs(sig, hot_bucket_cap=_HOT_CAP, band_rows=rows)
 
 
+# connected-components rounds for dedup_cluster: each round does one
+# neighbor-min propagation (+1 hop) AND one pointer jump (label <- label
+# of label, ~doubling the covered radius), so labels converge for any
+# component of diameter <= ~2**_CC_ITERS. LSH near-dup components are
+# hub-and-chain shaped with tiny diameters; 6 rounds covers ~64 hops.
+_CC_ITERS = 6
+
+
+@register("dedup_cluster", f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+{_CAND_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, MIN(lbl) AS cluster_rep,
+       node = MIN(lbl) AS is_survivor
+FROM reach GROUP BY node
+""")
+def q_dedup_cluster(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the MinHash-
+    LSH candidate graph, then keep the min-doc_id representative per
+    component (the survivor a dedup pipeline retains).
+
+    The Spark plan is the alternating min-label-propagation + pointer-
+    jumping family of distributed CC (Kiveris et al., "Connected Components
+    in MapReduce and Beyond" — public algorithm): per round, (1) every node
+    takes the min label over its neighbors (edges join + groupBy-min — one
+    shuffle keyed on dst), (2) every node re-reads the label OF its label
+    (self-join on the label table), which roughly doubles the radius a
+    label has travelled, giving convergence in O(log diameter) rounds with
+    a FIXED _CC_ITERS = {_CC_ITERS} (diameter <= ~2**{_CC_ITERS}; LSH
+    components are hub-shaped and far shallower). No driver-side
+    convergence loop — the round count is static. Each round references
+    the label table 4x, so lineage is truncated per round with a LAZY
+    localCheckpoint (no job at plan-construction; without it the plan
+    holds 4**iters copies of the LSH subtree — see operators/graph.py).
+    At 100 TB each round is 2 bounded shuffles of |V| + |E| rows;
+    singleton docs stay their own cluster. The oracle recomputes
+    components exactly via a recursive CTE (bidirected reachability, min
+    label per node).
+    """
+    from sen2rts_spark.operators.graph import connected_components
+    pairs = q_minhash_lsh_candidates(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    verts = load(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(verts, edges, iters=_CC_ITERS)
+
+
 @register("ngram_jaccard_pairs", f"""
 WITH shingles AS ({_SHINGLES_SQL}),
 {_CAND_SQL}
@@ -425,10 +479,18 @@ def q_doc_fingerprint(spark, sf_dir):
 
 _DOT = ("aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-_NQ = ("sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), "
-       "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-_NE = ("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
-       "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+def _norm_sql(col: str) -> str:
+    """L2-norm fold of an array column; a norm precomputed per ROW with
+    this fold is bit-identical to the same fold run inside a pair."""
+    return (f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+
+
+def _sim_pre():
+    """Cosine over pre-joined norms: every ANN scoring stage folds each
+    vector's norm once per ROW (nq_/ne_ columns) instead of re-folding both
+    arrays inside every candidate pair — 3 O(dim) folds per pair -> 1."""
+    return F.expr(_DOT) / (F.col("nq_") * F.col("ne_"))
 
 
 @register("ann_cosine_topk", """
@@ -450,12 +512,13 @@ def q_ann_cosine_topk(spark, sf_dir):
     The query side is tiny → broadcast; the scan side streams. JVM-side
     higher-order functions do the fold — no Python in the hot path.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings") \
+        .withColumn("ne_", F.expr(_norm_sql("embedding")))
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("ne_").alias("nq_"))
     j = F.broadcast(q).join(e, F.col("vec_id") != F.col("qid"))
-    sim = F.round(
-        F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    sim = F.round(_sim_pre(), 4)
     sims = j.select("qid", "vec_id", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
     return sims.select("qid", "vec_id", "sim",
@@ -497,10 +560,14 @@ def ann_lsh_pairs(e, hot_bucket_cap=None):
                 .filter((F.col("_bn") <= F.lit(int(hot_bucket_cap)))
                         | (F.col("vec_id") == F.col("_rep")))
                 .drop("_bn", "_rep"))
+    # carry the vector norm computed once per ROW: consumers that divide by
+    # ||a||*||b|| would otherwise re-fold both arrays inside every pair
+    nrm = F.expr("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                 "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     a = left.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-                    "bucket")
+                    "bucket", nrm.alias("na_"))
     b = withb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
-                     F.col("bucket").alias("bucket_b"))
+                     F.col("bucket").alias("bucket_b"), nrm.alias("nb_"))
     return a.join(b, (F.col("bucket") == F.col("bucket_b"))
                   & (F.col("va") < F.col("vb")))
 
@@ -530,9 +597,8 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     j = ann_lsh_pairs(e)
     dot = ("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    na = ("sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    nb = ("sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    sim = F.expr(dot) / (F.expr(na) * F.expr(nb))
+    # per-row norms come pre-computed from ann_lsh_pairs (na_/nb_)
+    sim = F.expr(dot) / (F.col("na_") * F.col("nb_"))
     return j.select("va", "vb", F.round(sim, 4).alias("sim"), "bucket") \
         .filter(sim >= ANN_SIM_THR)
 
@@ -573,18 +639,19 @@ def q_ann_multiprobe(spark, sf_dir):
         (F.when(F.col("embedding")[2 * i] - F.col("embedding")[2 * i + 1] >= 0,
                 F.lit(1 << i)).otherwise(F.lit(0))
          for i in range(ANN_LSH_BITS)), start=F.lit(0))
-    withb = e.withColumn("bucket", bucket)
+    withb = e.withColumn("bucket", bucket) \
+        .withColumn("ne_", F.expr(_norm_sql("embedding")))
     q = withb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qb"))
+        F.col("bucket").alias("qb"), F.col("ne_").alias("nq_"))
     probe_cols = [F.col("qb")] + [F.col("qb").bitwiseXOR(F.lit(1 << j))
                                   for j in range(ANN_LSH_BITS)]
-    probes = q.select("qid", "qe",
+    probes = q.select("qid", "qe", "nq_",
                       F.explode(F.array(*probe_cols)).alias("pb"))
     j = F.broadcast(probes).join(
         withb, (F.col("bucket") == F.col("pb"))
         & (F.col("vec_id") != F.col("qid")))
-    sim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    sim = F.round(_sim_pre(), 4)
     sims = j.select("qid", "vec_id", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
     return sims.select("qid", "vec_id", "sim",
@@ -644,31 +711,37 @@ def q_ann_ivf_topk(spark, sf_dir):
     never all-pairs. Ties in argmax/probe rank are broken by cell id on
     1e-4-rounded cosines, so both engines select identically.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings") \
+        .withColumn("ne_", F.expr(_norm_sql("embedding")))
     cents = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("qe"))
-    csim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("qe"),
+        F.col("ne_").alias("nq_"))
+    csim = F.round(_sim_pre(), 4)
     # assignment: argmax cosine over the broadcast centroids, lowest cell
     # wins ties (struct ordering: csim desc via max, then -cell)
     asim = F.broadcast(cents).crossJoin(e) \
-        .select("vec_id", "embedding", "cell", csim.alias("csim"))
+        .select("vec_id", "embedding", "ne_", "cell", csim.alias("csim"))
     assign = asim.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell"),
-        F.any_value("embedding").alias("embedding"))
+        F.any_value("embedding").alias("embedding"),
+        F.any_value("ne_").alias("ne_"))
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    # probe the nprobe=2 nearest cells per query
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("ne_").alias("nq_"))
+    # probe the nprobe=2 nearest cells per query (centroid plays the
+    # corpus role here: its qe/nq_ become embedding/ne_)
     qsim = F.broadcast(q).crossJoin(
-        cents.select("cell", F.col("qe").alias("embedding"))) \
-        .select("qid", "qe", "cell", csim.alias("csim"))
+        cents.select("cell", F.col("qe").alias("embedding"),
+                     F.col("nq_").alias("ne_"))) \
+        .select("qid", "qe", "nq_", "cell", csim.alias("csim"))
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), "cell")
     qprobe = qsim.withColumn("rk", F.row_number().over(wq)) \
-        .filter(F.col("rk") <= 2).select("qid", "qe", "cell")
+        .filter(F.col("rk") <= 2).select("qid", "qe", "nq_", "cell")
     j = F.broadcast(qprobe).join(
         assign.withColumnRenamed("cell", "acell"),
         (F.col("acell") == F.col("cell"))
         & (F.col("vec_id") != F.col("qid")))
-    sim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    sim = F.round(_sim_pre(), 4)
     sims = j.select("qid", "vec_id", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
     return sims.select("qid", "vec_id", "sim",
@@ -750,43 +823,50 @@ def q_ann_ivf_lloyd_topk(spark, sf_dir):
     100 TB the quantizer trains on a SAMPLE (e.g. TABLESAMPLE or
     vec_id % s = 0 — still one broadcast per iteration); the full-table
     training here keeps the gate oracle-exact. Probe fan-out nprobe=4."""
-    e = load(spark, sf_dir, "embeddings")
-    csim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    e = load(spark, sf_dir, "embeddings") \
+        .withColumn("ne_", F.expr(_norm_sql("embedding")))
+    csim = F.round(_sim_pre(), 4)
     cents = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qe"))
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qe")) \
+        .withColumn("nq_", F.expr(_norm_sql("qe")))
     for _ in range(2):
         asim = F.broadcast(cents).crossJoin(e) \
-            .select("vec_id", "embedding", "cell", csim.alias("csim"))
+            .select("vec_id", "embedding", "ne_", "cell", csim.alias("csim"))
         assign = asim.groupBy("vec_id").agg(
             F.max_by("cell", F.struct(F.col("csim"),
                                       -F.col("cell"))).alias("cell"),
-            F.any_value("embedding").alias("embedding"))
+            F.any_value("embedding").alias("embedding"),
+            F.any_value("ne_").alias("ne_"))
         comp = assign.select(
             "cell", F.posexplode("embedding").alias("pos", "val"))
         cents = comp.groupBy("cell", "pos") \
             .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mv")) \
             .groupBy("cell").agg(
                 F.expr("transform(array_sort(collect_list(struct(pos, mv))),"
-                       " x -> x.mv)").alias("qe"))
+                       " x -> x.mv)").alias("qe")) \
+            .withColumn("nq_", F.expr(_norm_sql("qe")))
     asim = F.broadcast(cents).crossJoin(e) \
-        .select("vec_id", "embedding", "cell", csim.alias("csim"))
+        .select("vec_id", "embedding", "ne_", "cell", csim.alias("csim"))
     assign = asim.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell"),
-        F.any_value("embedding").alias("embedding"))
+        F.any_value("embedding").alias("embedding"),
+        F.any_value("ne_").alias("ne_"))
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("ne_").alias("nq_"))
     qsim = F.broadcast(q).crossJoin(
-        cents.select("cell", F.col("qe").alias("embedding"))) \
-        .select("qid", "qe", "cell", csim.alias("csim"))
+        cents.select("cell", F.col("qe").alias("embedding"),
+                     F.col("nq_").alias("ne_"))) \
+        .select("qid", "qe", "nq_", "cell", csim.alias("csim"))
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), "cell")
     qprobe = qsim.withColumn("rk", F.row_number().over(wq)) \
-        .filter(F.col("rk") <= 4).select("qid", "qe", "cell")
+        .filter(F.col("rk") <= 4).select("qid", "qe", "nq_", "cell")
     j = F.broadcast(qprobe).join(
         assign.withColumnRenamed("cell", "acell"),
         (F.col("acell") == F.col("cell"))
         & (F.col("vec_id") != F.col("qid")))
-    sim = F.round(F.expr(_DOT) / (F.expr(_NQ) * F.expr(_NE)), 4)
+    sim = F.round(_sim_pre(), 4)
     sims = j.select("qid", "vec_id", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
     return sims.select("qid", "vec_id", "sim",
@@ -867,15 +947,20 @@ def q_ann_production_recall(spark, sf_dir):
     corpus = base.select("vec_id", F.col("b").alias("v")) \
         .unionAll(planted.select((F.col("vec_id") + 100000).alias("vec_id"),
                                  F.col("t").alias("v"))) \
-        .withColumn("bucket", _sig16("v"))
+        .withColumn("bucket", _sig16("v")) \
+        .withColumn("nv_", F.expr(
+            "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x * x))"))
     qs = planted.select(
         (F.col("vec_id") + 100000).alias("qid"),
-        F.col("t").alias("qe"), _sig16("t").alias("qsig"))
+        F.col("t").alias("qe"), _sig16("t").alias("qsig"),
+        F.expr("sqrt(aggregate(t, CAST(0.0 AS DOUBLE), "
+               "(acc, x) -> acc + x * x))").alias("nq_"))
     masks = ([0] + [1 << i for i in range(ANN_PROD_BITS)]
              + [(1 << i) | (1 << j) for i in range(ANN_PROD_BITS)
                 for j in range(i + 1, ANN_PROD_BITS)])
     probes = qs.select(
-        "qid", "qe",
+        "qid", "qe", "nq_",
         F.explode(F.array(*[F.col("qsig").bitwiseXOR(F.lit(m))
                             for m in masks])).alias("pb"))
     cand = F.broadcast(probes).join(
@@ -883,9 +968,8 @@ def q_ann_production_recall(spark, sf_dir):
         & (F.col("vec_id") != F.col("qid")))
     dot = ("aggregate(zip_with(qe, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
            "(acc, p) -> acc + p)")
-    nq = ("sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))")
-    nv = ("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))")
-    csim = F.expr(dot) / (F.expr(nq) * F.expr(nv))
+    # norms pre-folded per row (nq_ on the probe side, nv_ on the corpus)
+    csim = F.expr(dot) / (F.col("nq_") * F.col("nv_"))
     hits = cand.filter(csim >= 0.9) \
         .select("qid", F.col("vec_id").alias("hit_id"))
     pair_dot = ("aggregate(zip_with(t, b, (x, y) -> x * y), "
@@ -1073,19 +1157,26 @@ def q_dedup_embedding_near(spark, sf_dir):
     bucket = sum(
         (F.when(F.col("embedding")[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
          for i in range(N_SIGN_BITS)), start=F.lit(0))
-    eb = e.withColumn("bucket", bucket)
+    # norm per VECTOR before the join, not per pair: the naive form
+    # re-aggregated both norms inside every candidate row, i.e. 2 extra
+    # O(dim) array folds per pair — at near-dup pair counts that is the
+    # verify stage's dominant term. Same fold over the same array gives
+    # bit-identical float64, so the oracle values are unchanged.
+    nrm = ("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+           "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    eb = e.withColumn("bucket", bucket).withColumn("nrm", F.expr(nrm))
     a = eb.select(F.col("vec_id").alias("va"), F.col("label").alias("lbl"),
-                  F.col("bucket").alias("bkt"), F.col("embedding").alias("ea"))
+                  F.col("bucket").alias("bkt"), F.col("embedding").alias("ea"),
+                  F.col("nrm").alias("na_"))
     b = eb.select(F.col("vec_id").alias("vb"), F.col("label").alias("lbl_b"),
-                  F.col("bucket").alias("bkt_b"), F.col("embedding").alias("eb"))
+                  F.col("bucket").alias("bkt_b"), F.col("embedding").alias("eb"),
+                  F.col("nrm").alias("nb_"))
     j = a.join(b, (F.col("lbl") == F.col("lbl_b"))
                & (F.col("bkt") == F.col("bkt_b"))
                & (F.col("va") < F.col("vb")))
     dot = ("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    na = ("sqrt(aggregate(ea, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    nb = ("sqrt(aggregate(eb, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    sim = F.expr(dot) / (F.expr(na) * F.expr(nb))
+    sim = F.expr(dot) / (F.col("na_") * F.col("nb_"))
     return j.select("va", "vb", F.round(sim, 4).alias("sim")) \
         .filter(sim >= NEAR_DUP_SIM)
 
