@@ -18,6 +18,11 @@ import statistics
 BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "BENCH")
 
+# Round in which the fused single-exchange ingest (commit 779635e) landed;
+# SCALING artifacts from earlier rounds measured a different (3-exchange)
+# pipeline and are reported separately from the current-build pool.
+FUSED_INGEST_ROUND = 8
+
 
 def main():
     pooled: dict[str, list] = {}
@@ -117,10 +122,36 @@ def main():
               f"fixed_sec lo/hi="
               f"{med(cell['fixed_lo']):.2f}/{med(cell['fixed_hi']):.2f}")
 
+    # current-build pool: the fused single-exchange ingest landed in round
+    # 8 (commit 779635e); artifacts from earlier rounds measured the old
+    # 3-exchange chain, so pooling them with r8+ runs averages two
+    # different codebases. The cross-round pool above stays as the honest
+    # full history; this line is the population that measures the code as
+    # shipped.
+    build_round = re.compile(r"_r(\d+)")
+    current_build: dict[str, list] = {}
+    for path in sorted(glob.glob(os.path.join(BENCH, "SCALING_*.json"))):
+        if os.path.basename(path) in skip:
+            continue
+        m = build_round.search(os.path.basename(path))
+        if not m or int(m.group(1)) < FUSED_INGEST_ROUND:
+            continue
+        with open(path) as f:
+            d = json.load(f)
+        if not str(d.get("protocol", "")).endswith("_sandwich"):
+            continue
+        for key in d:
+            km = re.match(r"per_pair_efficiency_(\d+)_to_(\d+)$", key)
+            if km:
+                current_build.setdefault(
+                    f"{km.group(1)}->{km.group(2)}", []).extend(d[key])
+
     print()
     for label, pool in (("drift-accepted (as recorded)", accepted),
                         ("current gate (drift<10%, wide steal<2%)",
-                         current_gate)):
+                         current_gate),
+                        (f"current build (r{FUSED_INGEST_ROUND}+ fused "
+                         "ingest, accepted)", current_build)):
         for pair, vals in sorted(pool.items()):
             med = statistics.median(vals)
             print(f"{label} {pair}: n={len(vals)} median={med:.3f} "
