@@ -43,8 +43,12 @@ BENCH = os.path.join(
 def collect_pairs() -> list[dict]:
     pairs = []
     for path in sorted(glob.glob(os.path.join(BENCH, "SCALING_*.json"))):
-        # SCALING.json is the live output slot and duplicates the last
-        # archived run (same exclusion as scaling_summary.py)
+        # SCALING.json (no underscore, outside this glob) is the live output
+        # slot; SCALING_INPROGRESS.json is the collector's mid-run checkpoint
+        # — both duplicate the archived run's probes (same exclusion as
+        # scaling_summary.py)
+        if os.path.basename(path) == "SCALING_INPROGRESS.json":
+            continue
         with open(path) as f:
             d = json.load(f)
         for pr in d.get("probes", []):
