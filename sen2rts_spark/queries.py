@@ -967,7 +967,11 @@ _PRIORITY = [
     "row_number_per_group", "lead_align_pairs", "groupby_multi_agg",
     "quantiles_t7", "agg_fanout_melt", "union_all_stages",
     "weighted_mean", "rolling_mean_centered", "token_count",
-    "pivot_wide_accessor",
+    # r8 addition: quality-ranked survivor selection — the retention end
+    # of pairs -> clusters -> survivors. pivot_wide_accessor rotates out
+    # for it (pivot_wide gates the same §1.1 pivot semantics in-window;
+    # the accessor variant stays pytest-covered via api facade tests).
+    "dedup_survivors",
     # structurally significant §2 operators. Rotated out (families still
     # value-verified in-window): rank_average_ties (weight ranking inside
     # assign_season_topk), local_extrema (W2/W3 via cut_cycles_structural),

@@ -287,6 +287,72 @@ def q_dedup_cluster(spark, sf_dir):
     return connected_components(verts, edges, iters=_CC_ITERS)
 
 
+# the exact quality expression gated by quality_score, shared so the
+# survivor ranking below stays value-identical to that row's oracle
+_QUALITY_SQL = """ROUND(LEAST(length(text) / 500.0, 1.0) * 0.5
+           + (1.0 - LEAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                          * 1.0 / NULLIF(length(text), 0), 1.0)) * 0.3
+           + LEAST((length(text) - length(replace(lower(text), ' the ', 'xxxxx')))
+                   / 5.0 / 10.0, 1.0) * 0.2, 6)"""
+
+
+@register("dedup_survivors", f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+{_CAND_SQL},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_rep FROM reach GROUP BY node),
+scored AS (
+  SELECT c.cluster_rep, c.doc_id, {_QUALITY_SQL} AS quality
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+ranked AS (
+  SELECT cluster_rep, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                            ORDER BY quality DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members
+  FROM scored)
+SELECT cluster_rep, doc_id AS survivor_id, quality AS best_quality,
+       n_members
+FROM ranked WHERE rk = 1 AND n_members >= 2
+""")
+def q_dedup_survivors(spark, sf_dir):
+    """Retention end of the dedup pipeline: per duplicate CLUSTER, keep the
+    highest-quality member (quality_score's exact expression; ties broken
+    by lowest doc_id). pairs → clusters (`dedup_cluster`) → survivors is
+    the full near-dedup decision a training-data pipeline applies; the
+    min-id `is_survivor` column on dedup_cluster is the id-stable variant,
+    this row is the quality-ranked one.
+
+    Plan: the CC label table joins quality (both keyed on doc_id — one
+    shuffle), then ONE groupBy(cluster_rep) computes n_members and the
+    argmax member via max_by over a (quality, -doc_id) struct — an
+    all-partial-aggregatable single shuffle, no window sort. Only
+    clusters with >= 2 members survive to the output (singletons are
+    trivially retained). At 100 TB both shuffles move |V| rows of three
+    scalar columns; the LSH candidate subtree is shared with
+    dedup_cluster and lineage-truncated once (lazy localCheckpoint).
+    """
+    cc = q_dedup_cluster(spark, sf_dir).select("doc_id", "cluster_rep")
+    qual = q_quality_score(spark, sf_dir)
+    per = cc.join(qual, "doc_id").groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            F.struct(F.col("doc_id").alias("survivor_id"),
+                     F.col("quality").alias("best_quality")),
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("best"))
+    return per.filter(F.col("n_members") >= 2).select(
+        "cluster_rep", F.col("best.survivor_id").alias("survivor_id"),
+        F.col("best.best_quality").alias("best_quality"), "n_members")
+
+
 @register("ngram_jaccard_pairs", f"""
 WITH shingles AS ({_SHINGLES_SQL}),
 {_CAND_SQL}
