@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 
 from ..operators.rollup import TIER_SECONDS
 
-__all__ = ["stream_rollup"]
+__all__ = ["stream_rollup", "stream_dedup_exact"]
 
 
 def stream_rollup(stream: DataFrame, tier: str = "hourly",
@@ -127,3 +127,30 @@ def stream_ewma_smoother(stream: DataFrame, alpha: float = 0.3,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_exact(stream: DataFrame, watermark: str = "1 hour",
+                       ts_col: str = "ts",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup over a document stream: first occurrence of
+    each content hash passes, repeats within the watermark horizon are
+    suppressed — the streaming twin of the batch ``dedup_exact`` row
+    (queries_docs.py: md5-hash groupBy).
+
+    Built on ``dropDuplicatesWithinWatermark``: Spark keeps one state row
+    per content hash and evicts it when the event-time watermark passes,
+    so state is bounded by (dedup horizon x ingest rate), NOT by corpus
+    history — the property that makes streaming dedup feasible at
+    100 TB/day. Suppression works across micro-batches (state carry is
+    tested in tests/test_streaming.py with a 1-file-per-trigger source).
+    A repeat arriving AFTER its hash's state expired re-emits: streaming
+    exact dedup is exact within the horizon, and the periodic batch
+    ``dedup_exact``/``dedup_cluster`` sweep reconciles across horizons —
+    the standard lambda split.
+
+    The hash is md5 of the raw text (matching the batch row's identity);
+    state stores only the 128-bit hash + event time, not the document.
+    """
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    return (hashed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))

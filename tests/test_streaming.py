@@ -119,3 +119,47 @@ def test_stateful_ewma_carries_state_across_batches(spark):
             exp[v] = cur
         for v, s in exp.items():
             assert abs(got[v] - s) < 1e-12, (v, got.get(v), s)
+
+
+def test_stream_dedup_exact_suppresses_across_batches(spark):
+    """First occurrence of each content hash passes; exact repeats in a
+    LATER micro-batch are suppressed by carried state (the property a
+    batch-mode distinct cannot give a stream). One parquet file per
+    trigger forces the repeats into a separate micro-batch."""
+    import os, tempfile
+    from sen2rts_spark.streaming.rollup_stream import stream_dedup_exact
+
+    base = 1_700_000_000
+    texts = [f"document body {i % 4}" for i in range(8)]  # 4 distinct
+    first = [(i, texts[i], base + i) for i in range(8)]
+    # second wave: same 4 texts again, later but inside the watermark
+    second = [(100 + i, texts[i], base + 600 + i) for i in range(8)]
+
+    with tempfile.TemporaryDirectory() as d:
+        indir = os.path.join(d, "in")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "doc_id long, text string, epoch long") \
+            .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+        mk(first).coalesce(1).write.mode("append").parquet(indir)
+        mk(second).coalesce(1).write.mode("append").parquet(indir)
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp") \
+            .option("maxFilesPerTrigger", 1).parquet(indir)
+        q = (stream_dedup_exact(stream, watermark="1 hour")
+             .writeStream.format("memory").queryName("dedup_stream")
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(d, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        n_batches = len([p for p in q.recentProgress
+                         if p["numInputRows"] > 0])
+
+        out = spark.sql("SELECT * FROM dedup_stream").collect()
+        # exactly one survivor per distinct text, regardless of batch order
+        assert sorted(r["text"] for r in out) == sorted(set(texts))
+        # the second wave was a separate trigger, so suppression crossed
+        # micro-batch state, not just within-batch distinct
+        assert n_batches >= 2
+        # survivors are first-wave rows (their repeats arrived later)
+        assert all(r["doc_id"] < 100 for r in out)
