@@ -271,9 +271,10 @@ def q_dedup_cluster(spark, sf_dir):
     a FIXED _CC_ITERS = {_CC_ITERS} (diameter <= ~2**{_CC_ITERS}; LSH
     components are hub-shaped and far shallower). No driver-side
     convergence loop — the round count is static. Each round references
-    the label table 4x, so lineage is truncated per round with a LAZY
-    localCheckpoint (no job at plan-construction; without it the plan
-    holds 4**iters copies of the LSH subtree — see operators/graph.py).
+    the label table 4x, so lineage is truncated every 2nd round with a
+    LAZY localCheckpoint (no job at plan-construction; without it the
+    plan holds 4**iters copies of the LSH subtree — see
+    operators/graph.py for the 4**cadence bound).
     At 100 TB each round is 2 bounded shuffles of |V| + |E| rows;
     singleton docs stay their own cluster. The oracle recomputes
     components exactly via a recursive CTE (bidirected reachability, min
