@@ -1,12 +1,14 @@
-"""Per-query diff of two bench artifacts (VERDICT r7 task 2 attribution).
+"""Diff two bench artifacts per query, with host-phase context.
 
-Usage: python tools/bench_compare.py BENCH/BENCH_r6_preview.json \
-           BENCH/BENCH_r8_preview.json [pct_flag_threshold=5]
+    python tools/bench_compare.py BENCH/BENCH_r7_preview.json BENCH/BENCH_r8_preview.json [pct]
 
-Flattens the top-level `queries`, `extra_queries` and `tier_read` timing
-maps of each artifact, prints old/new seconds and %delta per query sorted
-by |delta|, flags rows beyond the threshold, and summarizes headline
-total_sec / points_per_sec movement. Pure stdlib; runs nothing.
+Prints every query (suite + extras + tier_read) side by side with the
+relative delta, flagging rows beyond ``pct`` (default 10 %), and the host
+telemetry that decides whether a delta is attributable to code or to the
+box's bandwidth phase (accepted-probe cal/steal, stream_bw at acceptance
+and at suite end). Wall-clock rows under ~0.7 s sit on the sf0.1
+scan+dispatch floor (BENCH/BASELINE.md) — deltas there are phase noise
+unless they reproduce across runs.
 """
 
 from __future__ import annotations
@@ -15,53 +17,62 @@ import json
 import sys
 
 
-def _flatten(d: dict) -> dict[str, float]:
-    out: dict[str, float] = {}
-    for sect in ("queries", "extra_queries", "tier_read"):
-        for k, v in (d.get(sect) or {}).items():
-            if isinstance(v, (int, float)) and not k.endswith(
-                    ("_blobs_decoded", "_blobs_total")):
-                out[k] = float(v)
-    return out
+def _queries(d: dict) -> dict:
+    q = dict(d.get("queries", {}))
+    q.update(d.get("extra_queries", {}))
+    for k, v in d.get("tier_read", {}).items():
+        # counters (blobs_decoded etc.) are not wall-clock rows
+        if isinstance(v, float):
+            q[k] = v
+    return q
 
 
-def main() -> int:
+def _host(d: dict) -> str:
+    h = d.get("host", {})
+    bits = []
+    rep = h.get("rollup_best_rep")
+    if rep:
+        bits.append(f"best-rep cal {rep.get('cal_sec')} steal {rep.get('steal_pct')}%")
+    for sec in h.get("quiet_gate", []):
+        acc = sec.get("accepted")
+        if isinstance(acc, dict) and acc.get("stream_bw_gbs") is not None:
+            bits.append(f"{sec.get('label')}@{acc['stream_bw_gbs']}GB/s")
+    if h.get("suite_stream_bw_gbs") is not None:
+        bits.append(f"suite-end {h['suite_stream_bw_gbs']}GB/s "
+                    f"steal {h.get('suite_steal_pct')}%")
+    return "; ".join(bits) or "no host block"
+
+
+def main() -> None:
     if len(sys.argv) < 3:
-        print(__doc__)
-        return 2
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 5.0
-    qo, qn = _flatten(old), _flatten(new)
-    rows = []
-    for k in sorted(set(qo) | set(qn)):
-        a, b = qo.get(k), qn.get(k)
-        if a is None or b is None:
-            rows.append((float("inf"), k, a, b, None))
-            continue
-        pct = 100.0 * (b - a) / a if a else 0.0
-        rows.append((abs(pct), k, a, b, pct))
-    rows.sort(reverse=True)
-    flagged = 0
-    print(f"{'query':34s} {'old':>8s} {'new':>8s} {'delta%':>8s}")
-    for _, k, a, b, pct in rows:
-        if pct is None:
-            print(f"{k:34s} {a if a is not None else '-':>8} "
-                  f"{b if b is not None else '-':>8} {'only-one':>8s}")
-            continue
-        mark = " <-- " + ("slower" if pct > 0 else "faster") \
-            if abs(pct) >= thr else ""
-        if abs(pct) >= thr:
-            flagged += 1
-        print(f"{k:34s} {a:8.3f} {b:8.3f} {pct:+8.1f}{mark}")
-    for field in ("value", "points_per_sec"):
-        a, b = old.get(field), new.get(field)
-        if a and b:
-            print(f"headline {field}: {a} -> {b} "
-                  f"({100.0 * (b - a) / a:+.1f}%)")
-    print(f"{flagged} queries beyond ±{thr}%")
-    return 0
+        raise SystemExit(__doc__)
+    a = json.load(open(sys.argv[1]))
+    b = json.load(open(sys.argv[2]))
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    qa, qb = _queries(a), _queries(b)
+    la, lb = sys.argv[1].rsplit("/", 1)[-1], sys.argv[2].rsplit("/", 1)[-1]
+    print(f"A = {la}: total {a.get('value')} s, "
+          f"{a.get('points_per_sec')} pts/s | {_host(a)}")
+    print(f"B = {lb}: total {b.get('value')} s, "
+          f"{b.get('points_per_sec')} pts/s | {_host(b)}")
+    print(f"\n{'query':34s} {'A':>8} {'B':>8} {'delta':>7}")
+    flagged = []
+    for k in sorted(set(qa) | set(qb), key=lambda k: -(qb.get(k) or qa.get(k) or 0)):
+        va, vb = qa.get(k), qb.get(k)
+        if va and vb:
+            pct = (vb / va - 1) * 100
+            mark = " <<" if abs(pct) >= thresh else ""
+            if mark:
+                flagged.append((k, pct))
+            print(f"{k:34s} {va:8.3f} {vb:8.3f} {pct:+6.0f}%{mark}")
+        else:
+            print(f"{k:34s} {va if va else '-':>8} {vb if vb else '-':>8} "
+                  f"{'only in ' + (la if va else lb):>7}")
+    if flagged:
+        print(f"\n{len(flagged)} row(s) beyond ±{thresh:.0f}% — check the "
+              "host lines above before attributing to code; sub-0.7 s rows "
+              "ride the scan floor.")
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()
