@@ -1,0 +1,163 @@
+"""Blob-store compaction: merge fragmented Gorilla blobs per (id, chunk).
+
+Incremental ingestion fragments the tier store: every commit that APPENDS
+newly-arrived buckets for an existing (id, tier, chunk_start) window
+writes another small blob, so a year-old hot series accumulates dozens of
+fragments per chunk and every read pays per-blob fixed cost (envelope
+row, decode dispatch, Arrow cell) dozens of times over. ``compact_blobs``
+is the Iceberg ``rewrite_data_files`` analogue for this store — a
+maintenance pass that rewrites each fragmented (id, tier, chunk_start)
+group into ONE blob while leaving already-compact groups untouched
+byte-for-byte (so re-running it is idempotent and a planned-but-skipped
+group costs nothing).
+
+Scale shape: one hash shuffle on the group key (the window count that
+splits fragmented groups from singletons), then singletons flow through
+unchanged — no decode, no re-encode — and only fragments enter the
+vectorized decode→merge→re-encode mapInArrow pass. At 100 TB the pass is
+bounded by the fragmented fraction of the store, not the store size, and
+each group's output blob is chunk-bounded exactly like the sink's
+(operators/gorilla_sink.py).
+
+Merge policy: fragments of a group must hold DISJOINT bucket_starts — the
+append path only ever adds new buckets. A duplicate bucket across
+fragments means someone appended an upsert, which this store expresses as
+an idempotent bucket overwrite through the catalog
+(sources/catalog.py:write_stage), never as a blob append — compaction
+fails loudly rather than guessing which value wins.
+
+Reference parity note: sen2rts has no storage layer (its s2ts cube lives
+in memory, R/load_s2paths.R + R/extract_s2ts.R scan rasters per call);
+compaction is part of the graft's retention-service surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..kernels.gorilla import gorilla_decode_multi, gorilla_encode
+from .gorilla_sink import BLOB_SCHEMA, _blob_buffers
+
+__all__ = ["compact_blobs"]
+
+
+def compact_blobs(blobs: DataFrame) -> DataFrame:
+    """Rewrite multi-blob (id, tier, chunk_start) groups into one blob each.
+
+    Input/output schema: ``BLOB_SCHEMA``. Groups that already hold a single
+    blob pass through byte-identical (tested); fragmented groups are decoded
+    with the vectorized cross-blob kernel, merged in timestamp order, and
+    re-encoded. ``count``/``min_ts``/``max_ts`` of a merged blob are
+    recomputed from the merged points, so the envelope prune
+    (tier_read_window_prune) stays exact after compaction.
+    """
+    import pyarrow as pa
+
+    group = ["id", "tier", "chunk_start"]
+    tagged = blobs.withColumn(
+        "_nfrag", F.count(F.lit(1)).over(Window.partitionBy(*group)))
+    single = tagged.filter(F.col("_nfrag") == 1).drop("_nfrag")
+    # the window's hash partitioning already collocates each group; only a
+    # within-partition sort is needed to make groups contiguous for the
+    # streaming merge (same no-second-exchange shape as the sink's
+    # clustered=True path)
+    frag = (tagged.filter(F.col("_nfrag") > 1).drop("_nfrag")
+            .sortWithinPartitions(*group, "min_ts"))
+
+    out_type = pa.schema([
+        ("id", pa.string()), ("tier", pa.string()),
+        ("chunk_start", pa.timestamp("us")), ("blob", pa.binary()),
+        ("count", pa.int32()), ("min_ts", pa.timestamp("us")),
+        ("max_ts", pa.timestamp("us")),
+    ])
+
+    def _merge(batches):
+        pend = None  # (key=(id, tier, chunk_us), [ts arrays], [val arrays])
+
+        def finish(key, ts_parts, val_parts, cols):
+            ts = np.concatenate(ts_parts)
+            vals = np.concatenate(val_parts)
+            order = np.argsort(ts, kind="stable")
+            ts, vals = ts[order], vals[order]
+            if len(ts) > 1 and (np.diff(ts) == 0).any():
+                raise ValueError(
+                    f"duplicate bucket across fragments of (id={key[0]}, "
+                    f"tier={key[1]}, chunk={key[2]}): upserts go through "
+                    f"the catalog's idempotent bucket overwrite, not blob "
+                    f"appends — refusing to pick a winner")
+            cols["id"].append(key[0])
+            cols["tier"].append(key[1])
+            cols["chunk_start"].append(int(key[2]))
+            cols["blob"].append(gorilla_encode(ts, vals))
+            cols["count"].append(len(ts))
+            cols["min_ts"].append(int(ts[0]) * 1_000_000)
+            cols["max_ts"].append(int(ts[-1]) * 1_000_000)
+
+        def to_batch(cols):
+            return pa.record_batch([
+                pa.array(cols["id"], pa.string()),
+                pa.array(cols["tier"], pa.string()),
+                pa.array(cols["chunk_start"], pa.timestamp("us")),
+                pa.array(cols["blob"], pa.binary()),
+                pa.array(cols["count"], pa.int32()),
+                pa.array(cols["min_ts"], pa.timestamp("us")),
+                pa.array(cols["max_ts"], pa.timestamp("us")),
+            ], schema=out_type)
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            # one vectorized decode of every fragment in the batch, then
+            # per-group slices of the concatenated point arrays (groups are
+            # contiguous after the sortWithinPartitions above)
+            dat, offs = _blob_buffers(batch)
+            counts, ts_all, vals_all = gorilla_decode_multi(dat, offs)
+            base = np.cumsum(counts) - counts
+            ids = np.asarray(
+                batch.column(batch.schema.get_field_index("id"))
+                .to_numpy(zero_copy_only=False))
+            tiers = np.asarray(
+                batch.column(batch.schema.get_field_index("tier"))
+                .to_numpy(zero_copy_only=False))
+            chunks = np.asarray(
+                batch.column(batch.schema.get_field_index("chunk_start"))
+                .cast(pa.int64()).to_numpy())
+            n = len(ids)
+            change = np.concatenate(
+                ([True], (ids[1:] != ids[:-1]) | (tiers[1:] != tiers[:-1])
+                 | (chunks[1:] != chunks[:-1])))
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [n]))
+            cols = {k: [] for k in ("id", "tier", "chunk_start", "blob",
+                                    "count", "min_ts", "max_ts")}
+            for k in range(len(starts)):
+                s, e = starts[k], ends[k]
+                key = (ids[s], tiers[s], chunks[s])
+                pts_lo = base[s]
+                pts_hi = base[e - 1] + counts[e - 1]
+                ts_parts = [ts_all[pts_lo:pts_hi]]
+                val_parts = [vals_all[pts_lo:pts_hi]]
+                if pend is not None:
+                    if pend[0] == key:
+                        ts_parts = pend[1] + ts_parts
+                        val_parts = pend[2] + val_parts
+                    else:
+                        finish(pend[0], pend[1], pend[2], cols)
+                    pend = None
+                if k == len(starts) - 1:
+                    # group may continue into the next Arrow batch
+                    pend = (key, ts_parts, val_parts)
+                else:
+                    finish(key, ts_parts, val_parts, cols)
+            if cols["id"]:
+                yield to_batch(cols)
+        if pend is not None:
+            cols = {k: [] for k in ("id", "tier", "chunk_start", "blob",
+                                    "count", "min_ts", "max_ts")}
+            finish(pend[0], pend[1], pend[2], cols)
+            yield to_batch(cols)
+
+    merged = frag.mapInArrow(_merge, BLOB_SCHEMA)
+    return single.unionByName(merged)

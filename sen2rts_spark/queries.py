@@ -923,8 +923,15 @@ _PRIORITY = [
     # r7: tier_read_window_prune rotates in — the min_ts/max_ts envelope
     # prune before decode (VERDICT r6 task 7), value-gated against raw
     # events over a 1-week window of weekly chunks.
+    # r8: compact_blobs_roundtrip rotates in (store compaction — fragment
+    # counts, post-compaction blob counts, and merged values all oracled);
+    # gorilla_roundtrip_daily rotates out: its encode path runs inside
+    # compact_blobs_roundtrip / tier_read_window_prune this window, the
+    # full-value decode_blobs read stays gated via tier_read_window_prune,
+    # and the decode_blobs_agg read via gorilla_tier_reagg — codec value
+    # coverage in-window is unchanged (plus pytest golden/property tests).
     "rollup_tier_chain", "rollup_distinct_sketch",
-    "gorilla_roundtrip_daily", "gorilla_tier_reagg", "fill_linear_daily",
+    "compact_blobs_roundtrip", "gorilla_tier_reagg", "fill_linear_daily",
     "rollup_incremental_late", "rollup_salted_hot_id",
     "tier_read_window_prune",
     # per-series kernels — hash-level structural oracles: the REAL kernels

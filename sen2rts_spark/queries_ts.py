@@ -174,6 +174,57 @@ def q_tier_read_window_prune(spark, sf_dir):
         F.round("value", 6).alias("value"))
 
 
+@register("compact_blobs_roundtrip", """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         SUM(value * 1.000000001) / SUM(1.000000001) AS v
+  FROM events GROUP BY user_id, date_trunc('day', ts))
+SELECT user_id,
+       CAST(to_timestamp((epoch(day)::BIGINT // 604800) * 604800)
+            AS TIMESTAMP) AS chunk_start,
+       COUNT(DISTINCT CASE WHEN day < TIMESTAMP '2024-01-20'
+                           THEN 0 ELSE 1 END) AS n_frag_before,
+       CAST(1 AS BIGINT) AS n_blobs,
+       COUNT(*) AS n_points,
+       ROUND(SUM(v), 6) AS vsum
+FROM daily GROUP BY user_id, (epoch(day)::BIGINT // 604800)
+""")
+def q_compact_blobs_roundtrip(spark, sf_dir):
+    """Store compaction (operators/compaction.py), value-gated end to end:
+    the daily tier is committed in two time-disjoint appends (before/after
+    2024-01-20) with weekly chunks, so the chunk containing the cut holds
+    TWO fragments per id while every other chunk holds one — the oracle
+    pins that pre-compaction fragment count per (id, chunk) from raw
+    events (n_frag_before), so the fixture's fragmentation is itself
+    value-checked, not assumed. compact_blobs then rewrites fragmented
+    groups into one blob (singletons pass through untouched, byte-identity
+    in tests/test_compaction.py); the output gates n_blobs == 1 for EVERY
+    chunk, the merged point count, and the per-chunk value sum via the
+    aggregate-pushdown read — merge loss, duplicate retention, or a
+    skipped merge all hash-mismatch. Scale shape: one hash shuffle for the
+    fragment/singleton split; only fragments decode."""
+    from .operators.compaction import compact_blobs
+    from .operators.gorilla_sink import decode_blobs_agg
+    cut = F.lit("2024-01-20").cast("timestamp")
+    daily = _daily(spark, sf_dir)
+    a = encode_blobs(daily.filter(F.col("bucket_start") < cut),
+                     "daily", chunk_days=7)
+    b = encode_blobs(daily.filter(F.col("bucket_start") >= cut),
+                     "daily", chunk_days=7)
+    fragged = a.unionByName(b)
+    before = fragged.groupBy("id", "chunk_start").agg(
+        F.count(F.lit(1)).alias("n_frag_before"))
+    per_blob = decode_blobs_agg(compact_blobs(fragged))
+    out = (per_blob.groupBy("id", F.col("bucket_start").alias("chunk_start"))
+           .agg(F.count(F.lit(1)).alias("n_blobs"),
+                F.sum("n_points").alias("n_points"),
+                F.round(F.sum("vsum"), 6).alias("vsum")))
+    return (out.join(before, ["id", "chunk_start"])
+            .select(F.col("id").cast("long").alias("user_id"),
+                    "chunk_start", "n_frag_before", "n_blobs",
+                    "n_points", "vsum"))
+
+
 @register("gorilla_tier_reagg", """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
