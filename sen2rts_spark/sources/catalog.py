@@ -159,6 +159,28 @@ class Catalog:
     def read_stage(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(table))
 
+    def read_point(self, table: str, id_value, id_col: str = "id") -> DataFrame:
+        """Point lookup: one id's rows, reading ONLY its bucket partition.
+
+        The filter ``bucket = pmod(hash(lit(id)), N)`` is constant-folded by
+        Catalyst and becomes a partition filter on the scan (asserted in
+        tests/test_catalog_resume.py::test_point_lookup_prunes_partitions),
+        so a single-series read touches 1/n_buckets of the store's files no
+        matter how large the table is — the key-axis complement of the
+        min_ts/max_ts envelope prune on the time axis
+        (tier_read_window_prune). This is the Iceberg read pattern for a
+        bucket-transform-partitioned table: predicate on the bucketed
+        column prunes to its bucket's manifests.
+
+        ``id_value`` must carry the SAME Spark type as the table's id
+        column (murmur3 hashes of e.g. '7' and 7 differ, so a mistyped
+        literal lands in the wrong bucket and returns empty).
+        """
+        return (self.read_stage(table)
+                .filter(F.col("bucket") == F.pmod(
+                    F.hash(F.lit(id_value)), F.lit(self.n_buckets)))
+                .filter(F.col(id_col) == F.lit(id_value)))
+
     def metrics(self) -> DataFrame:
         """Per-stage counters: buckets, rows, wall time (the north rule's
         per-partition lineage rows + counters)."""

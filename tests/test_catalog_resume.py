@@ -187,3 +187,38 @@ def test_concurrent_writers_disjoint_buckets(spark, tmp_path_factory):
         _snapshot(spark, clean, "tier_daily")
     assert w1.completed_buckets("tier_daily") == list(range(8))
     _sh.rmtree(base, ignore_errors=True)
+
+
+def test_point_lookup_prunes_partitions(spark, tmp_path_factory):
+    """read_point reads ONLY the target id's bucket partition: the folded
+    bucket predicate must appear in the scan's PartitionFilters, the scan
+    must report 1/n_buckets of the partitions, and the values must equal a
+    full-scan filter."""
+    import shutil as _sh
+    from sen2rts_spark.sources.catalog import Catalog
+
+    base = str(tmp_path_factory.mktemp("cat6"))
+    daily = _daily(spark)
+    cat = Catalog(spark, base, n_buckets=8)
+    cat.write_stage(daily, "tier_daily")
+
+    some_id = daily.select("id").orderBy("id").limit(1).collect()[0]["id"]
+    pt = cat.read_point("tier_daily", some_id)
+
+    plan = pt._jdf.queryExecution().executedPlan().toString()
+    # pmod(hash(lit(id)), 8) must constant-fold into a LITERAL partition
+    # filter on the scan (e.g. "PartitionFilters: [..., (bucket#12 = 3)]")
+    # — anchored inside the PartitionFilters list, not the schema, so an
+    # unpruned scan (empty PartitionFilters) fails here
+    import re
+    assert re.search(r"PartitionFilters: \[[^\]]*\(bucket#\d+ = \d+\)",
+                     plan), plan
+    # and the id equality is pushed to the parquet row groups
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(id,", plan), plan
+    got = sorted(tuple(r) for r in pt.select(
+        "id", "bucket_start", "value").collect())
+    want = sorted(tuple(r) for r in cat.read_stage("tier_daily")
+                  .filter(F.col("id") == some_id)
+                  .select("id", "bucket_start", "value").collect())
+    assert got == want and len(got) > 0
+    _sh.rmtree(base, ignore_errors=True)
