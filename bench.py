@@ -247,6 +247,58 @@ def bench_tier_read_year(spark, blobs_path: str) -> dict[str, float]:
     return res
 
 
+def ensure_fragged_blobs(spark, repo_root: str, year_path: str,
+                         n_ids: int) -> str:
+    """Fragmented variant of the year store: the weekly blobs are relabeled
+    to 28-day chunk_start (pure Catalyst — blob bytes unchanged), giving 4
+    fragments per (id, chunk): the shape an append-per-week ingest leaves
+    behind. Deterministic, built once."""
+    path = os.path.join(repo_root, ".bench_cache", f"fragblobs_{n_ids}.parquet")
+    if not os.path.exists(path):
+        blobs = spark.read.parquet(year_path)
+        blobs.withColumn(
+            "chunk_start",
+            F.window("min_ts", f"{28 * 86400} seconds")["start"]) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def ensure_compacted_blobs(spark, repo_root: str, frag_path: str,
+                           n_ids: int) -> str:
+    path = os.path.join(repo_root, ".bench_cache",
+                        f"compactblobs_{n_ids}.parquet")
+    if not os.path.exists(path):
+        from sen2rts_spark.operators.compaction import compact_blobs
+        compact_blobs(spark.read.parquet(frag_path)) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_compaction(spark, frag_path: str, compact_path: str) -> dict:
+    """Read amplification of a fragmented store vs its compacted rewrite:
+    the same weekly re-aggregate (aggregate-pushdown read) over 4-fragment
+    chunks vs 1-blob chunks. The structural metrics (blob count and stored
+    bytes before/after) are the terms that grow with store size at 100 TB;
+    the walls show the per-blob fixed cost they translate to here."""
+    from sen2rts_spark.operators.gorilla_sink import decode_blobs_agg
+    res: dict[str, float] = {}
+
+    def _read(path):
+        b = spark.read.parquet(path)
+        decode_blobs_agg(b, bucket_seconds=604800) \
+            .groupBy("id", "bucket_start") \
+            .agg(F.sum("n_points").alias("n"), F.sum("vsum").alias("s")) \
+            .count()
+
+    t0 = time.time()
+    _read(frag_path)
+    res["compact_read_fragmented"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _read(compact_path)
+    res["compact_read_compacted"] = round(time.time() - t0, 3)
+    return res
+
+
 def bench_tier_read(spark, blobs_path: str) -> dict[str, float]:
     """Stored blobs → weekly re-aggregate, two plans: materialize-then-agg
     (decode_blobs row explosion) vs aggregate pushdown (decode_blobs_agg).
@@ -475,6 +527,35 @@ def main() -> None:
             tier_best[k] = min(tier_best.get(k, float("inf")), v)
     tier_best["tier_read_year_points_total"] = year_ids * 52 * 7 * 24
 
+    # store compaction (r8): fragmented year store (4 weekly fragments per
+    # 28-day chunk) vs its compacted rewrite — read walls min-of-reps;
+    # compact_wall is ONE timed pass over a deterministic quarter of the
+    # ids (decode+merge+re-encode is the operator's whole cost, a single
+    # rep keeps the bench bounded and the quiet gate already ran)
+    frag_path = ensure_fragged_blobs(spark, repo_root, year_path, year_ids)
+    compact_path = ensure_compacted_blobs(spark, repo_root, frag_path,
+                                          year_ids)
+    from sen2rts_spark.operators.compaction import compact_blobs
+    frag_df = spark.read.parquet(frag_path)
+    quarter = frag_df.filter(F.crc32(F.col("id")) % 4 == 0)
+    compact_blobs(quarter.limit(2000)).count()  # warm the code path
+    t0 = time.time()
+    compact_blobs(quarter).count()
+    compact_best: dict[str, float] = {
+        "compact_wall_quarter": round(time.time() - t0, 3)}
+    bench_compaction(spark, frag_path, compact_path)  # warm
+    for _ in range(reps):
+        for k, v in bench_compaction(spark, frag_path, compact_path).items():
+            compact_best[k] = min(compact_best.get(k, float("inf")), v)
+    # structural (deterministic) metrics: what compaction removes at scale
+    compact_best["compact_blobs_before"] = frag_df.count()
+    compact_best["compact_blobs_after"] = \
+        spark.read.parquet(compact_path).count()
+    compact_best["compact_bytes_before"] = frag_df.agg(
+        F.sum(F.length("blob"))).first()[0]
+    compact_best["compact_bytes_after"] = spark.read.parquet(compact_path) \
+        .agg(F.sum(F.length("blob"))).first()[0]
+
     total = round(sum(per_query.values()), 3)
     out = {
         "metric": "total_sec",
@@ -511,6 +592,8 @@ def main() -> None:
         "extra_queries": extra,
         # stored-blob read paths (not in total: added round 5)
         "tier_read": {k: round(v, 3) for k, v in tier_best.items()},
+        # store compaction: fragmented vs compacted read + volumes (r8)
+        "compaction": compact_best,
     }
     print(json.dumps(out))
     # The driver's BENCH artifact keeps only the last ~4 kB of output, and
