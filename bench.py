@@ -203,19 +203,7 @@ def ensure_year_blobs(spark, repo_root: str, n_ids: int) -> str:
     path = os.path.join(repo_root, ".bench_cache", f"yearblobs_{n_ids}.parquet")
     if not os.path.exists(path):
         from sen2rts_spark.operators.gorilla_sink import encode_blobs
-        hours = 52 * 7 * 24
-        ids = spark.range(n_ids).select(
-            F.concat(F.lit("url-"), F.col("id")).alias("id"),
-            (F.crc32(F.col("id").cast("string")) % 360).alias("phase"))
-        grid = ids.crossJoin(
-            spark.range(hours).select(F.col("id").alias("h")))
-        t0 = F.to_timestamp(F.lit("2020-01-06 00:00:00"))
-        tier = grid.select(
-            "id",
-            (t0 + F.make_dt_interval(hours=F.col("h"))).alias("bucket_start"),
-            (F.sin((F.col("h") + F.col("phase")) / 24.0)
-             + F.col("h") / 1e4).alias("value"))
-        encode_blobs(tier, "hourly", chunk_days=7) \
+        encode_blobs(_year_tier(spark, n_ids), "hourly", chunk_days=7) \
             .write.mode("overwrite").parquet(path)
     return path
 
@@ -247,18 +235,37 @@ def bench_tier_read_year(spark, blobs_path: str) -> dict[str, float]:
     return res
 
 
-def ensure_fragged_blobs(spark, repo_root: str, year_path: str,
-                         n_ids: int) -> str:
-    """Fragmented variant of the year store: the weekly blobs are relabeled
-    to 28-day chunk_start (pure Catalyst — blob bytes unchanged), giving 4
-    fragments per (id, chunk): the shape an append-per-week ingest leaves
-    behind. Deterministic, built once."""
+def _year_tier(spark, n_ids: int):
+    """The deterministic hourly tier behind ensure_year_blobs (same
+    formula — id-phased sine, no RNG, no clock)."""
+    hours = 52 * 7 * 24
+    ids = spark.range(n_ids).select(
+        F.concat(F.lit("url-"), F.col("id")).alias("id"),
+        (F.crc32(F.col("id").cast("string")) % 360).alias("phase"))
+    grid = ids.crossJoin(spark.range(hours).select(F.col("id").alias("h")))
+    t0 = F.to_timestamp(F.lit("2020-01-06 00:00:00"))
+    return grid.select(
+        "id",
+        (t0 + F.make_dt_interval(hours=F.col("h"))).alias("bucket_start"),
+        (F.sin((F.col("h") + F.col("phase")) / 24.0)
+         + F.col("h") / 1e4).alias("value"))
+
+
+def ensure_fragged_blobs(spark, repo_root: str, n_ids: int) -> str:
+    """Micro-append-fragmented store: the year tier encoded as DAILY blobs
+    (24 points each — the shape an append-per-ingest-cycle pipeline leaves
+    behind) relabeled to 28-day chunk_start, i.e. ~26 fragments per
+    (id, chunk). Written at the sink's standard 3-tasks/core layout so the
+    frag/compact read comparison is layout-matched. Deterministic, built
+    once."""
     path = os.path.join(repo_root, ".bench_cache", f"fragblobs_{n_ids}.parquet")
     if not os.path.exists(path):
-        blobs = spark.read.parquet(year_path)
-        blobs.withColumn(
-            "chunk_start",
-            F.window("min_ts", f"{28 * 86400} seconds")["start"]) \
+        from sen2rts_spark.operators.gorilla_sink import encode_blobs
+        parts = 3 * spark.sparkContext.defaultParallelism
+        encode_blobs(_year_tier(spark, n_ids), "hourly", chunk_days=1) \
+            .withColumn("chunk_start",
+                        F.window("min_ts", f"{28 * 86400} seconds")["start"]) \
+            .repartition(parts) \
             .write.mode("overwrite").parquet(path)
     return path
 
@@ -269,17 +276,28 @@ def ensure_compacted_blobs(spark, repo_root: str, frag_path: str,
                         f"compactblobs_{n_ids}.parquet")
     if not os.path.exists(path):
         from sen2rts_spark.operators.compaction import compact_blobs
-        compact_blobs(spark.read.parquet(frag_path)) \
+        # same 3-tasks/core file layout as the fragmented store: without
+        # it AQE coalesces the compacted write into ~1/3 the files and the
+        # read comparison measures layout, not compaction (measured 2.2x)
+        parts = 3 * spark.sparkContext.defaultParallelism
+        compact_blobs(spark.read.parquet(frag_path)).repartition(parts) \
             .write.mode("overwrite").parquet(path)
     return path
 
 
 def bench_compaction(spark, frag_path: str, compact_path: str) -> dict:
-    """Read amplification of a fragmented store vs its compacted rewrite:
-    the same weekly re-aggregate (aggregate-pushdown read) over 4-fragment
-    chunks vs 1-blob chunks. The structural metrics (blob count and stored
-    bytes before/after) are the terms that grow with store size at 100 TB;
-    the walls show the per-blob fixed cost they translate to here."""
+    """Read amplification of a micro-append-fragmented store vs its
+    compacted rewrite: the same weekly re-aggregate (aggregate-pushdown
+    read) over ~26-fragment chunks (daily 24-point blobs) vs 1-blob
+    chunks (672 points). The structural metrics (blob/index-row count and
+    stored bytes before/after) are the terms that grow with store size at
+    100 TB; the walls show what they translate to here — measured A/B on
+    this shape: compacted ~15-25 % faster on the full-store scan. (Weekly
+    168-point fragments showed NO wall win at equal layout: the lockstep
+    cross-blob decoder already amortizes per-blob cost at that size, so
+    full-scan decode is size-insensitive — compaction's scan win only
+    appears for micro-fragments; its index-row reduction applies at every
+    size.)"""
     from sen2rts_spark.operators.gorilla_sink import decode_blobs_agg
     res: dict[str, float] = {}
 
@@ -532,7 +550,7 @@ def main() -> None:
     # compact_wall is ONE timed pass over a deterministic quarter of the
     # ids (decode+merge+re-encode is the operator's whole cost, a single
     # rep keeps the bench bounded and the quiet gate already ran)
-    frag_path = ensure_fragged_blobs(spark, repo_root, year_path, year_ids)
+    frag_path = ensure_fragged_blobs(spark, repo_root, year_ids)
     compact_path = ensure_compacted_blobs(spark, repo_root, frag_path,
                                           year_ids)
     from sen2rts_spark.operators.compaction import compact_blobs
