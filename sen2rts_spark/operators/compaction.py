@@ -52,6 +52,16 @@ def compact_blobs(blobs: DataFrame) -> DataFrame:
     re-encoded. ``count``/``min_ts``/``max_ts`` of a merged blob are
     recomputed from the merged points, so the envelope prune
     (tier_read_window_prune) stays exact after compaction.
+
+    Writing the result: repartition to the sink's standard 3-tasks/core
+    sizing (or your store's target file size) before ``.write`` — the
+    output of the union is small enough post-merge that AQE otherwise
+    coalesces it into few large files and READ parallelism collapses
+    (measured 2.2× slower reads; BENCH/BASELINE.md round-8 compaction).
+    The wall-clock read win is largest for micro-fragments (daily appends:
+    1.4× + 26× fewer index rows); weekly-sized fragments already decode at
+    amortized cost via the lockstep kernel, so there the payoff is the
+    blob-index reduction (envelope scan/filter/shuffle rows), not decode.
     """
     import pyarrow as pa
 
