@@ -137,3 +137,39 @@ def test_no_second_exchange_before_merge(spark):
               if i > mi and "Window" in ln)
     between = "\n".join(lines[mi + 1:wi])
     assert "Exchange" not in between, between
+
+
+def test_group_straddles_arrow_batches(spark):
+    """The merge pass carries a group across Arrow batch boundaries: with
+    maxRecordsPerBatch=2, a 3-fragment group spans two batches and the
+    carried parts must merge exactly once."""
+    tier = _tier(spark, n_ids=2, days=45)
+    parts = []
+    for lo, hi in ((0, 15), (15, 30), (30, 45)):
+        cut_lo = F.lit("2024-01-01").cast("timestamp") + F.expr(
+            f"INTERVAL {lo} DAYS")
+        cut_hi = F.lit("2024-01-01").cast("timestamp") + F.expr(
+            f"INTERVAL {hi} DAYS")
+        parts.append(encode_blobs(
+            tier.filter((F.col("bucket_start") >= cut_lo)
+                        & (F.col("bucket_start") < cut_hi)),
+            "daily", chunk_days=45))
+    fragged = parts[0].unionByName(parts[1]).unionByName(parts[2]) \
+        .coalesce(1)  # every group in ONE partition -> batch split matters
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "2")
+        compacted = compact_blobs(fragged)
+        rows = compacted.collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    per_group = {}
+    for r in rows:
+        per_group.setdefault((r["id"], r["chunk_start"]), []).append(r)
+    assert all(len(v) == 1 for v in per_group.values()), per_group
+    pts = decode_blobs(spark.createDataFrame(rows, compacted.schema))
+    assert pts.count() == 2 * 45
