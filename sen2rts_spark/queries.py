@@ -959,8 +959,15 @@ _PRIORITY = [
     # extract_pheno_structural (trs) rotates out: the window-SQL
     # recomputation family stays gated via extract_pheno_gu_structural,
     # and the trs metrics remain golden-fixture-tested in pytest.
+    # r8 (new operator): decontaminate_ngram — GPT-3-style benchmark
+    # n-gram-overlap decontamination with a broadcast eval side and a
+    # zero-shuffle gram subtree (see queries_docs.py). savgol_quartic_residual
+    # rotates out to make room: green r6 AND r7, kernel untouched this
+    # round, and the W5/W6 family stays value-gated in-window via
+    # smooth_savgol_series' invariant oracle plus the 1e-9 golden fixtures
+    # in pytest (test_kernels_golden.py).
     "cut_cycles_structural", "cut_cycles_series", "fill_spline_structural",
-    "savgol_quartic_residual", "whittaker_sine_recon",
+    "decontaminate_ngram", "whittaker_sine_recon",
     "smooth_whittaker_series",
     "fit_curves_invariant",
     "extract_pheno_gu_structural",

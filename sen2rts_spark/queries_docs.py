@@ -1342,3 +1342,99 @@ def q_term_doc_freq(spark, sf_dir):
         "word", "df",
         F.round(F.col("df") / F.col("_n_docs"), 6).alias("df_frac")) \
         .orderBy(F.desc("df"), "word").limit(100)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+# Window size for contamination matching. 3-word shingles flag ~60% of the
+# corpus on generic-phrase collisions (measured at sf0.01); 5-word spans flag
+# only genuinely overlapping documents (planted near-dups: 88 shared 5-grams
+# for a dup pair vs 0 for unrelated docs). Production pipelines use 8-13
+# (GPT-3 appendix C uses 13-gram overlap); 5 keeps the synthetic fixture's
+# planted dups detectable.
+_DECONTAM_N = 5
+# Deterministic in-corpus "benchmark" split: doc_id % _DECONTAM_MOD == 0 is
+# the eval set (10% of docs — includes planted near-dup partners at every
+# test SF, so the query result is non-trivial).
+_DECONTAM_MOD = 10
+
+_DECONTAM_IDX_SQL = " || ' ' || ".join(
+    f"lower(w3[i+{k}])" for k in range(_DECONTAM_N))
+_DECONTAM_NGRAMS_SQL = f"""
+  SELECT doc_id,
+         list_distinct([{_DECONTAM_IDX_SQL}
+                        for i in range(1, len(w3) - {_DECONTAM_N - 2})]) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'), ' '),
+                           w -> w <> '') AS w3
+        FROM documents)
+  WHERE len(w3) >= {_DECONTAM_N}
+"""
+
+
+def _ngram_rows(spark, sf_dir, n):
+    """(doc_id, s) — distinct n-word shingles, one row each, ZERO shuffle.
+
+    Unlike ``_shingle_rows`` (posexplode + lead() windows, which costs a
+    doc_id-keyed exchange for the window sort), grams are assembled
+    per-row: explode a ONE-element array to materialize the tokenized
+    words as a generator output attribute — CollapseProject cannot inline
+    an expression across a Generate node, so the slice() lambdas reference
+    the attribute instead of re-tokenizing per gram (the direct
+    transform-over-expression form re-tokenizes once per element; measured
+    20x slower at sf0.1). array_distinct dedups per doc in-row, so no
+    exchange exists anywhere in the gram subtree.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " "), " "),
+        lambda w: w != "")
+    ex = d.select("doc_id", F.explode(F.array(words)).alias("ws")) \
+        .filter(F.size("ws") >= n)
+    grams = F.array_distinct(F.transform(
+        # sequence() descends when start > stop, so the >= n filter above
+        # is load-bearing
+        F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+        lambda i: F.array_join(F.slice("ws", i, n), " ")))
+    return ex.select("doc_id", F.explode(grams).alias("s"))
+
+
+@register("decontaminate_ngram", f"""
+WITH shingles AS ({_DECONTAM_NGRAMS_SQL}),
+ng AS (SELECT doc_id, UNNEST(sh) AS s FROM shingles),
+ev AS (SELECT DISTINCT s, doc_id AS eval_id
+       FROM ng WHERE doc_id % {_DECONTAM_MOD} = 0),
+hits AS (SELECT c.doc_id, c.s, e.eval_id
+         FROM ng c JOIN ev e ON c.s = e.s
+         WHERE c.doc_id % {_DECONTAM_MOD} <> 0)
+SELECT doc_id,
+       COUNT(DISTINCT s) AS n_hits,
+       COUNT(DISTINCT eval_id) AS n_eval_docs
+FROM hits GROUP BY doc_id
+""")
+def q_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    {n}-word span with the eval/benchmark split (GPT-3-style n-gram overlap
+    decontamination; the eval set here is the deterministic doc_id %
+    _DECONTAM_MOD == 0 split of the same corpus — no external data).
+
+    Scale design: the eval side is SMALL by construction (benchmark suites
+    are megabytes against a 100 TB corpus), so its distinct n-grams are
+    BROADCAST — the corpus side is a scan + projection + broadcast-hash
+    semi-ish join with NO corpus-wide shuffle; only matched (doc, s,
+    eval_id) hit rows reach the groupBy exchange. The eval-side filter
+    (doc_id % mod = 0 stands in for "read the benchmark table") is pushed
+    to its own scan. Output: per contaminated doc, distinct shared n-grams
+    and distinct eval docs hit — the removal decision (n_hits >= tau) is a
+    downstream filter.
+    """
+    ng = _ngram_rows(spark, sf_dir, _DECONTAM_N)
+    ev = ng.filter(F.col("doc_id") % _DECONTAM_MOD == 0) \
+        .select("s", F.col("doc_id").alias("eval_id")).distinct()
+    corpus = ng.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    hits = corpus.join(F.broadcast(ev), "s")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("s").alias("n_hits"),
+        F.countDistinct("eval_id").alias("n_eval_docs"))
