@@ -959,15 +959,21 @@ _PRIORITY = [
     # extract_pheno_structural (trs) rotates out: the window-SQL
     # recomputation family stays gated via extract_pheno_gu_structural,
     # and the trs metrics remain golden-fixture-tested in pytest.
-    # r8 (new operator): decontaminate_ngram — GPT-3-style benchmark
+    # r8 (new operators): decontaminate_ngram — GPT-3-style benchmark
     # n-gram-overlap decontamination with a broadcast eval side and a
-    # zero-shuffle gram subtree (see queries_docs.py). savgol_quartic_residual
-    # rotates out to make room: green r6 AND r7, kernel untouched this
-    # round, and the W5/W6 family stays value-gated in-window via
-    # smooth_savgol_series' invariant oracle plus the 1e-9 golden fixtures
-    # in pytest (test_kernels_golden.py).
-    "cut_cycles_structural", "cut_cycles_series", "fill_spline_structural",
-    "decontaminate_ngram", "whittaker_sine_recon",
+    # zero-shuffle gram subtree; stratified_sample — deterministic
+    # hash-threshold language rebalancing (broadcast rate dim, zero wide
+    # shuffle); embedding_quantize_int8 — per-vector int8 scalar
+    # quantization with error bound (pure projection, the 4x ANN storage
+    # path). Rotated out to make room, each green r6 AND r7 with its
+    # kernel untouched this round and its family still value-gated
+    # in-window: savgol_quartic_residual (W5/W6 via smooth_savgol_series'
+    # invariant oracle + 1e-9 goldens in test_kernels_golden.py),
+    # whittaker_sine_recon (smooth_whittaker_series' invariant oracle +
+    # goldens), fill_spline_structural (C9 knot/clamp contracts inside
+    # fill_spline_series + 1e-9 spline goldens).
+    "cut_cycles_structural", "cut_cycles_series", "stratified_sample",
+    "decontaminate_ngram", "embedding_quantize_int8",
     "smooth_whittaker_series",
     "fit_curves_invariant",
     "extract_pheno_gu_structural",

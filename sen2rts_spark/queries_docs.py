@@ -1438,3 +1438,124 @@ def q_decontaminate_ngram(spark, sf_dir):
     return hits.groupBy("doc_id").agg(
         F.countDistinct("s").alias("n_hits"),
         F.countDistinct("eval_id").alias("n_eval_docs"))
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture / sampling and embedding storage
+# --------------------------------------------------------------------------
+
+# Hash-threshold resolution for deterministic sampling decisions.
+_SAMPLE_BUCKETS = 65536
+
+
+@register("stratified_sample", f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT MIN(n) AS tgt FROM c),
+r AS (SELECT lang, LEAST(1.0, CAST(tgt AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+      FROM c, t),
+b AS (SELECT doc_id, lang,
+             ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % {_SAMPLE_BUCKETS} AS bucket
+      FROM documents)
+SELECT b.doc_id, b.lang, b.bucket, round(r.rate, 9) AS rate
+FROM b JOIN r ON b.lang = r.lang
+WHERE CAST(b.bucket AS DOUBLE) / {_SAMPLE_BUCKETS} < r.rate
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Language-balanced corpus sampling: downsample every language to the
+    size of the smallest one with a DETERMINISTIC per-doc hash threshold
+    (keep iff md5-bucket/65536 < target/n_lang). The standard corpus-mixing
+    primitive (rebalance a web crawl's language skew before training).
+
+    Scale design: the per-lang rates come from ONE small count aggregate
+    (|langs| rows) joined back as a BROADCAST — the corpus side is scan →
+    hash projection → filter with zero wide shuffle and no driver action.
+    Hash-threshold sampling (vs rand()) is idempotent under task retries,
+    stable when the corpus grows (each doc's keep/drop decision is
+    independent of partitioning and row order), and resumable — the
+    properties a 100 TB training-data pipeline needs from its sampler.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tgt = counts.agg(F.min("n").alias("tgt"))
+    rates = counts.crossJoin(F.broadcast(tgt)).select(
+        "lang",
+        F.least(F.lit(1.0),
+                F.col("tgt").cast("double") / F.col("n").cast("double"))
+         .alias("rate"))
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % _SAMPLE_BUCKETS
+    b = d.select("doc_id", "lang", bucket.alias("bucket"))
+    return b.join(F.broadcast(rates), "lang") \
+        .filter(F.col("bucket").cast("double") / _SAMPLE_BUCKETS
+                < F.col("rate")) \
+        .select("doc_id", "lang", "bucket", F.round("rate", 9).alias("rate"))
+
+
+# int8 (offset-binary, 0..255) scalar quantization: q = floor((v-mn)/sc+.5).
+_QERR_SQL = ("list_aggregate(list_transform(e, v -> "
+             "abs(v - mn - LEAST(255.0, floor((v - mn) / sc + 0.5)) * sc)), "
+             "'max')")
+_QSUM_SQL = ("list_transform(e, v -> CAST(LEAST(255.0, "
+             "floor((v - mn) / sc + 0.5)) AS BIGINT))")
+
+
+@register("embedding_quantize_int8", f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+  FROM embeddings),
+st AS (
+  SELECT vec_id, e, list_aggregate(e, 'min') AS mn,
+         (list_aggregate(e, 'max') - list_aggregate(e, 'min')) / 255.0 AS sc
+  FROM base),
+qz AS (
+  SELECT vec_id, sc,
+         CASE WHEN sc = 0 THEN 0.0 ELSE {_QERR_SQL} END AS max_err,
+         CASE WHEN sc = 0 THEN NULL ELSE {_QSUM_SQL} END AS q
+  FROM st)
+SELECT vec_id, round(sc, 9) AS scale, round(max_err, 9) AS max_err,
+       COALESCE(list_aggregate(q, 'sum'), 0) AS sum_q,
+       COALESCE(list_aggregate(list_transform(q, x -> x * x), 'sum'), 0)
+         AS sum_q2,
+       COALESCE(q[1], 0) AS q_first, COALESCE(q[-1], 0) AS q_last
+FROM qz
+""")
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Per-vector int8 scalar quantization for the embedding store: map each
+    float32 vector to 256 offset-binary levels over its own [min, max]
+    range and report the quantization scale, max reconstruction error, and
+    code checksums (sum, sum-of-squares, first/last code).
+
+    Scale design: a pure per-row Catalyst projection — zero shuffle, zero
+    Python. At 100 TB this is the storage path for ANN: int8 codes are 4x
+    smaller than float32, so IVF cell scans (ann_ivf_lloyd_topk) read a
+    quarter of the bytes at a bounded, per-vector-reported error
+    (max_err <= scale/2 by construction — asserted in pytest). Constant
+    vectors (scale 0) quantize to all-zero codes with zero error.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"))
+    st = e.select(
+        "vec_id", "e", F.array_min("e").alias("mn"),
+        ((F.array_max("e") - F.array_min("e")) / 255.0).alias("sc"))
+    code = lambda v: F.least(F.lit(255.0), F.floor(
+        (v - F.col("mn")) / F.col("sc") + 0.5)).cast("long")
+    err = F.array_max(F.transform(
+        "e", lambda v: F.abs(v - F.col("mn")
+                             - code(v).cast("double") * F.col("sc"))))
+    qz = st.select(
+        "vec_id", "sc",
+        F.when(F.col("sc") == 0, F.lit(0.0)).otherwise(err).alias("max_err"),
+        F.when(F.col("sc") == 0, F.lit(None)).otherwise(
+            F.transform("e", code)).alias("q"))
+    zsum = lambda c: F.coalesce(
+        F.aggregate(c, F.lit(0).cast("long"), lambda a, v: a + v), F.lit(0))
+    return qz.select(
+        "vec_id", F.round("sc", 9).alias("scale"),
+        F.round("max_err", 9).alias("max_err"),
+        zsum(F.col("q")).alias("sum_q"),
+        zsum(F.transform("q", lambda x: x * x)).alias("sum_q2"),
+        F.coalesce(F.element_at("q", 1), F.lit(0)).alias("q_first"),
+        F.coalesce(F.element_at("q", -1), F.lit(0)).alias("q_last"))
