@@ -402,6 +402,10 @@ EXTRA_QUERIES = [
     "rollup_distinct_sketch",
     "ann_production_recall",
     "dedup_cluster",
+    # round-8 additions
+    "decontaminate_ngram",
+    "stratified_sample",
+    "embedding_quantize_int8",
 ]
 
 
