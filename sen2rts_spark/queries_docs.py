@@ -16,6 +16,30 @@ from pyspark.sql import Window
 
 from .queries import load, register
 
+
+def _spread(df):
+    """Round-robin the rows of a single-row-group input across the engine.
+
+    The driver's documents/embeddings parquet ships as ONE file with ONE row
+    group, so parquet's row-group split granularity caps the scan — and every
+    stage before the first exchange (tokenize, explode, pair expansion on the
+    streamed side of a broadcast join) — at a single task regardless of core
+    count (measured: the sf1.0 candidate-pair stages ran 2/32 cores). Guide
+    §2.5: "input skew: one huge unsplittable file — repartition immediately
+    after the read". The exchange moves only the scanned bytes (MBs here) and
+    uses an EXPLICIT partition count derived from the engine width (3
+    tasks/core, the session's standard sizing) so AQE does not coalesce the
+    tiny-by-bytes exchange back to one partition. On a store whose layout
+    already provides >= engine-width splits this exchange is pure overhead —
+    disable with SPARK_GRAFT_INPUT_SPREAD=0 (scale knob, local default on).
+    """
+    import os
+    if os.environ.get("SPARK_GRAFT_INPUT_SPREAD", "1") == "0":
+        return df
+    sc = df.sparkSession.sparkContext
+    return df.repartition(3 * sc.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -548,7 +572,15 @@ _DOT = ("aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y 
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 def _norm_sql(col: str) -> str:
     """L2-norm fold of an array column; a norm precomputed per ROW with
-    this fold is bit-identical to the same fold run inside a pair."""
+    this fold is bit-identical to the same fold run inside a pair.
+
+    Why this stays a higher-order-function fold and not an unrolled
+    64-term expression: an unrolled chain compiles into one WholeStage-
+    Codegen method whose bytecode exceeds HotSpot's JIT limit, so the
+    whole stage runs bytecode-INTERPRETED — measured 5x SLOWER than the
+    interpreted HOF fold (2.6 s vs 0.53 s over 1.25 M rows at 32 cores).
+    Where the fold count is per-PAIR rather than per-row, the hot queries
+    route around Catalyst entirely via the numpy pair kernel below."""
     return (f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
             "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
 
@@ -558,6 +590,94 @@ def _sim_pre():
     vector's norm once per ROW (nq_/ne_ columns) instead of re-folding both
     arrays inside every candidate pair — 3 O(dim) folds per pair -> 1."""
     return F.expr(_DOT) / (F.col("nq_") * F.col("ne_"))
+
+
+# row-block budget (elements of the per-block sim matrix): 4M doubles
+# = 32 MB per in-flight block, the worker-memory bound of a hot cell
+_PAIR_BLOCK_ELEMS = 4_000_000
+
+
+def _pairwise_cosine_block(ids, E, thr):
+    """All (i < j) cosine pairs of one LSH cell with sim >= thr, batched in
+    numpy with the SAME float64 operation order as the Catalyst fold it
+    replaces, so every emitted sim is bit-identical to the former per-pair
+    expression (and to the DuckDB oracle values):
+
+    - elements are cast float32 -> float64 up front (= CAST(x AS DOUBLE));
+    - dot and norm accumulate ONE dimension at a time, left to right, from
+      0.0 (``P += outer(c_k, c_k)`` / ``s += c_k * c_k`` — exactly the
+      ``(acc, v) -> acc + v`` fold order);
+    - sim = dot / (norm_a * norm_b), the same two-operand order;
+    - the threshold keeps NaN (Spark and DuckDB both order NaN above every
+      number, so ``sim >= thr`` is true for a NaN sim).
+
+    Guide §4.2: the quadratic pair expansion is exactly the "hand whole
+    batches to vectorized native code" case — the former plan evaluated an
+    interpreted O(dim) fold per candidate pair (~11 us/pair; 14.9 s for the
+    1.25 M sf1.0 near-dup pairs), and an unrolled Catalyst chain is worse
+    (the WholeStageCodegen method outgrows HotSpot's JIT limit and runs
+    bytecode-interpreted — measured 5x slower than the fold). Row blocks
+    bound memory to O(block x m), so a hot cell cannot OOM a worker.
+
+    ids must be sorted ascending so i < j implies va < vb.
+    Returns (va, vb, sim) numpy arrays.
+    """
+    m = E.shape[0]
+    s = np.zeros(m)
+    for k in range(E.shape[1]):
+        c = E[:, k]
+        s += c * c
+    nrm = np.sqrt(s)
+    blk = max(1, _PAIR_BLOCK_ELEMS // max(m, 1))
+    out_a, out_b, out_s = [], [], []
+    for i0 in range(0, m - 1, blk):
+        i1 = min(i0 + blk, m)
+        P = np.zeros((i1 - i0, m))
+        for k in range(E.shape[1]):
+            c = E[:, k]
+            P += np.multiply.outer(c[i0:i1], c)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # zero-norm vectors yield inf/NaN sims, exactly like the
+            # former Catalyst division — the threshold handles them
+            S = P / np.multiply.outer(nrm[i0:i1], nrm)
+        # upper-triangle (global i < j) pairs within this row block
+        ii, jj = np.nonzero(
+            np.arange(m)[None, :] > (i0 + np.arange(i1 - i0))[:, None])
+        v = S[ii, jj]
+        keep = (v >= thr) | np.isnan(v)
+        out_a.append(ids[i0 + ii[keep]])
+        out_b.append(ids[jj[keep]])
+        out_s.append(v[keep])
+    if not out_a:
+        z = np.zeros(0)
+        return z.astype(np.int64), z.astype(np.int64), z
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_s))
+
+
+def _pair_sims_kernel(thr, extra_cols=()):
+    """applyInPandas kernel over one LSH cell: emit (va, vb, sim[, group
+    cols]) for every in-cell pair with sim >= thr (raw, un-rounded sims —
+    the caller rounds in Catalyst exactly as before). Null embeddings are
+    dropped up front: they can only produce null sims, which the former
+    per-pair filter dropped too."""
+    def _fn(pdf):
+        pdf = pdf[pdf["embedding"].notna()]
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"va": np.zeros(0, np.int64),
+                                 "vb": np.zeros(0, np.int64),
+                                 "sim": np.zeros(0),
+                                 **{c: pd.Series([], dtype=pdf[c].dtype)
+                                    for c in extra_cols}})
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        va, vb, sim = _pairwise_cosine_block(ids, E, thr)
+        out = {"va": va, "vb": vb, "sim": sim}
+        for c in extra_cols:
+            out[c] = np.full(len(va), pdf[c].iloc[0])
+        return pd.DataFrame(out)
+    return _fn
 
 
 @register("ann_cosine_topk", """
@@ -584,7 +704,9 @@ def q_ann_cosine_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
         F.col("ne_").alias("nq_"))
-    j = F.broadcast(q).join(e, F.col("vec_id") != F.col("qid"))
+    # _spread: the scored side streams against the broadcast query set —
+    # parallelize it past the one-row-group scan
+    j = F.broadcast(q).join(_spread(e), F.col("vec_id") != F.col("qid"))
     sim = F.round(_sim_pre(), 4)
     sims = j.select("qid", "vec_id", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
@@ -629,10 +751,13 @@ def ann_lsh_pairs(e, hot_bucket_cap=None):
                 .drop("_bn", "_rep"))
     # carry the vector norm computed once per ROW: consumers that divide by
     # ||a||*||b|| would otherwise re-fold both arrays inside every pair
-    nrm = F.expr("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
-                 "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    a = left.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
-                    "bucket", nrm.alias("na_"))
+    nrm = F.expr(_norm_sql("embedding"))
+    # _spread: the pair expansion happens on the STREAMED side of the
+    # (planner-chosen) broadcast join — parallelize it past the one-row-group
+    # scan; the build side stays as the planner sizes it
+    a = _spread(left).select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        "bucket", nrm.alias("na_"))
     b = withb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
                      F.col("bucket").alias("bucket_b"), nrm.alias("nb_"))
     return a.join(b, (F.col("bucket") == F.col("bucket_b"))
@@ -661,13 +786,21 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     ann_lsh_pairs(hot_bucket_cap=K); the gate runs exhaustive to match the
     oracle."""
     e = load(spark, sf_dir, "embeddings")
-    j = ann_lsh_pairs(e)
-    dot = ("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    # per-row norms come pre-computed from ann_lsh_pairs (na_/nb_)
-    sim = F.expr(dot) / (F.col("na_") * F.col("nb_"))
-    return j.select("va", "vb", F.round(sim, 4).alias("sim"), "bucket") \
-        .filter(sim >= ANN_SIM_THR)
+    bucket = sum(
+        (F.when(F.col("embedding")[2 * i] - F.col("embedding")[2 * i + 1] >= 0,
+                F.lit(1 << i)).otherwise(F.lit(0))
+         for i in range(ANN_LSH_BITS)), start=F.lit(0))
+    # In-bucket pair expansion + scoring via the numpy pair kernel (guide
+    # §4.2): one shuffle keyed on the hyperplane bucket — the former join
+    # key — then batched bit-identical cosines per cell (see
+    # _pairwise_cosine_block; 782 k pairs at sf1.0 took 9.1 s through the
+    # interpreted per-pair fold). ann_lsh_pairs remains the generic
+    # (capped) pair generator for callers that need the join form.
+    withb = e.select("vec_id", bucket.alias("bucket"), "embedding")
+    out = withb.groupBy("bucket") \
+        .applyInPandas(_pair_sims_kernel(ANN_SIM_THR, extra_cols=("bucket",)),
+                       "va long, vb long, sim double, bucket int")
+    return out.select("va", "vb", F.round("sim", 4).alias("sim"), "bucket")
 
 
 @register("ann_multiprobe", f"""
@@ -785,8 +918,10 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.col("ne_").alias("nq_"))
     csim = F.round(_sim_pre(), 4)
     # assignment: argmax cosine over the broadcast centroids, lowest cell
-    # wins ties (struct ordering: csim desc via max, then -cell)
-    asim = F.broadcast(cents).crossJoin(e) \
+    # wins ties (struct ordering: csim desc via max, then -cell).
+    # _spread: the C-cosines-per-row assign scan streams against the
+    # broadcast centroids — parallelize it past the one-row-group scan
+    asim = F.broadcast(cents).crossJoin(_spread(e)) \
         .select("vec_id", "embedding", "ne_", "cell", csim.alias("csim"))
     assign = asim.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell"),
@@ -890,7 +1025,10 @@ def q_ann_ivf_lloyd_topk(spark, sf_dir):
     100 TB the quantizer trains on a SAMPLE (e.g. TABLESAMPLE or
     vec_id % s = 0 — still one broadcast per iteration); the full-table
     training here keeps the gate oracle-exact. Probe fan-out nprobe=4."""
-    e = load(spark, sf_dir, "embeddings") \
+    # _spread once at the source: all three broadcast-centroid assign scans
+    # and the norm projection reuse the same engine-width exchange instead of
+    # the one-row-group scan
+    e = _spread(load(spark, sf_dir, "embeddings")) \
         .withColumn("ne_", F.expr(_norm_sql("embedding")))
     csim = F.round(_sim_pre(), 4)
     cents = e.filter(F.col("vec_id") < 16).select(
@@ -1070,10 +1208,8 @@ FROM embeddings
 """)
 def q_embedding_norms(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    nrm = F.sqrt(F.expr(
-        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
-        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
-    return e.select("vec_id", "label", F.round(nrm, 4).alias("l2norm"))
+    return e.select("vec_id", "label",
+                    F.round(F.expr(_norm_sql("embedding")), 4).alias("l2norm"))
 
 
 @register("label_centroid_distance", """
@@ -1224,28 +1360,20 @@ def q_dedup_embedding_near(spark, sf_dir):
     bucket = sum(
         (F.when(F.col("embedding")[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
          for i in range(N_SIGN_BITS)), start=F.lit(0))
-    # norm per VECTOR before the join, not per pair: the naive form
-    # re-aggregated both norms inside every candidate row, i.e. 2 extra
-    # O(dim) array folds per pair — at near-dup pair counts that is the
-    # verify stage's dominant term. Same fold over the same array gives
-    # bit-identical float64, so the oracle values are unchanged.
-    nrm = ("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
-           "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    eb = e.withColumn("bucket", bucket).withColumn("nrm", F.expr(nrm))
-    a = eb.select(F.col("vec_id").alias("va"), F.col("label").alias("lbl"),
-                  F.col("bucket").alias("bkt"), F.col("embedding").alias("ea"),
-                  F.col("nrm").alias("na_"))
-    b = eb.select(F.col("vec_id").alias("vb"), F.col("label").alias("lbl_b"),
-                  F.col("bucket").alias("bkt_b"), F.col("embedding").alias("eb"),
-                  F.col("nrm").alias("nb_"))
-    j = a.join(b, (F.col("lbl") == F.col("lbl_b"))
-               & (F.col("bkt") == F.col("bkt_b"))
-               & (F.col("va") < F.col("vb")))
-    dot = ("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    sim = F.expr(dot) / (F.col("na_") * F.col("nb_"))
-    return j.select("va", "vb", F.round(sim, 4).alias("sim")) \
-        .filter(sim >= NEAR_DUP_SIM)
+    # The pair expansion + cosine verify runs in the numpy pair kernel
+    # (guide §4.2): ONE shuffle keyed on the (label, sign-bucket) cell —
+    # exactly the former join key — then each cell's (va < vb) pairs are
+    # scored batched with the fold's float64 operation order, bit-identical
+    # to the previous per-pair Catalyst expression (see
+    # _pairwise_cosine_block). Replaces a broadcast join whose interpreted
+    # O(dim) fold per candidate pair dominated the query (measured
+    # ~11 us/pair, 14.9 s at sf1.0 for 1.25 M pairs). Raw sims cross the
+    # boundary; the ROUND stays in Catalyst as before.
+    eb = e.select("vec_id", "label", bucket.alias("bucket"), "embedding")
+    out = eb.groupBy("label", "bucket") \
+        .applyInPandas(_pair_sims_kernel(NEAR_DUP_SIM),
+                       "va long, vb long, sim double")
+    return out.select("va", "vb", F.round("sim", 4).alias("sim"))
 
 
 @register("token_count_bpe_ish", """
