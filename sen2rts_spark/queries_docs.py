@@ -157,27 +157,109 @@ def _lsh_candidate_pairs(sig, hot_bucket_cap=None, band_rows=None):
         .select("p.doc_a", "p.doc_b").distinct()
 
 
-def _shingle_rows(spark, sf_dir):
-    """(doc_id, source, s) — distinct 3-word shingles, one row each.
+# The oracle's tokenization, replicated in Python: replace every char
+# outside [a-zA-Z0-9 ] with a space on the ORIGINAL-case text, split on
+# single spaces, drop empties. The character class is pure ASCII, so the
+# substitution is semantically identical in Java regex (the former Catalyst
+# regexp_replace), Python re, and DuckDB's RE2 for ANY input; every kept
+# char is ASCII alphanumeric, so the per-word lower() the kernels apply is
+# locale-free and byte-identical to Spark's/DuckDB's lower().
+_WS_CLEAN = None  # compiled lazily inside workers (re is cheap, import once)
 
-    Tokenization happens ONCE per document (posexplode), shingles come from
-    lead() windows — NOT from array[i] accesses inside transform(), which
-    Catalyst's CollapseProject would inline into a re-tokenization per
-    element (measured 20x slower at sf0.1).
-    """
-    d = load(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", " "), " "),
-        lambda w: w != "")
-    ex = d.select("doc_id", "source", F.posexplode(words).alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    sh = ex.select(
-        "doc_id", "source",
-        F.concat_ws(" ", F.lower("w"),
-                    F.lower(F.lead("w", 1).over(win)),
-                    F.lower(F.lead("w", 2).over(win))).alias("s"),
-        F.lead("w", 2).over(win).alias("_w2"))
-    return sh.filter(F.col("_w2").isNotNull()).drop("_w2").distinct()
+
+def _py_tokens(text):
+    import re
+    global _WS_CLEAN
+    if _WS_CLEAN is None:
+        _WS_CLEAN = re.compile(r"[^a-zA-Z0-9 ]")
+    return [w for w in _WS_CLEAN.sub(" ", text).split(" ") if w]
+
+
+def _gram_kernel(n, cols):
+    """mapInPandas kernel: (cols..., text) rows -> (cols..., s) rows, one
+    per DISTINCT lowercase n-word gram. Tokenization AND gram assembly run
+    batched in the worker (guide §4.2) because every Catalyst formulation
+    measured far slower at sf1.0: lead() windows cost a doc_id exchange +
+    sort + a distinct exchange over all gram rows (3.4 s); per-row
+    transform(slice(), array_join()) is interpreted per gram (4.6 s for
+    the 5-gram corpus); and a Catalyst-side tokenize projection gets
+    pushed BELOW the spread exchange by the optimizer, serializing the
+    regex onto the single scan task (measured 2.4 s wall regardless of
+    parallelism). In-kernel tokenization rides the spread: raw text
+    shuffles once (MBs), then every stage is engine-wide."""
+    def _fn(batches):
+        for pdf in batches:
+            reps, grams = [], []
+            key_vals = [pdf[c] for c in cols]
+            for vals in zip(*key_vals, pdf["text"]):
+                text = vals[-1]
+                if text is None:
+                    continue
+                toks = [w.lower() for w in _py_tokens(text)]
+                if len(toks) < n:
+                    continue
+                gs = {" ".join(toks[i:i + n])
+                      for i in range(len(toks) - n + 1)}
+                reps.append((vals[:-1], len(gs)))
+                grams.extend(gs)
+            out = {}
+            for ci, c in enumerate(cols):
+                out[c] = np.repeat(
+                    np.asarray([r[0][ci] for r in reps], dtype=object),
+                    [r[1] for r in reps])
+            out["s"] = grams
+            yield pd.DataFrame(out)
+    return _fn
+
+
+def _shingle_rows(spark, sf_dir):
+    """(doc_id, source, s) — distinct 3-word shingles, one row each,
+    assembled in the batched gram kernel over the Catalyst tokenizer (see
+    _gram_kernel; replaces the lead()-window + distinct plan, whose two
+    all-gram-rows exchanges dominated the MinHash family at sf1.0)."""
+    src = _spread(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "source", "text")
+    return src.mapInPandas(_gram_kernel(3, ("doc_id", "source")),
+                           "doc_id long, source string, s string")
+
+
+def _minhash_sig_kernel(batches):
+    """Fused shingle -> md5 -> Kirsch-Mitzenmacher mins, one doc per output
+    row. Python's hashlib.md5 hexdigest is byte-identical to Spark's md5()
+    (same algorithm, lowercase hex over the UTF-8 bytes), int(hex, 16)
+    matches conv(hex, 16, 10), and the per-permutation arithmetic
+    (h1 + i*h2) % 2^31-1 stays exact in int64 (< 2^34), so every signature
+    value is bit-identical to the former explode + groupBy-min plan while
+    the 2.6 M gram rows never leave the worker: the signature query needs
+    NO shuffle at all (grams of one doc live in one row)."""
+    import hashlib
+    K = np.arange(1, N_PERMS + 1, dtype=np.int64)
+    for pdf in batches:
+        ids, counts, h1s, h2s = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            toks = [w.lower() for w in _py_tokens(text)]
+            if len(toks) < 3:
+                continue
+            gs = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+            for g in gs:
+                hx = hashlib.md5(g.encode()).hexdigest()
+                h1s.append(int(hx[:7], 16))
+                h2s.append(int(hx[7:14], 16))
+            ids.append(doc_id)
+            counts.append(len(gs))
+        if not ids:
+            continue
+        H1 = np.asarray(h1s, dtype=np.int64)
+        H2 = np.asarray(h2s, dtype=np.int64)
+        P = (H1[:, None] + K[None, :] * H2[:, None]) % _KM_MOD
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        mins = np.minimum.reduceat(P, offs, axis=0)
+        out = {"doc_id": np.asarray(ids, dtype=np.int64)}
+        for i in range(N_PERMS):
+            out[f"h{i + 1}"] = mins[:, i]
+        yield pd.DataFrame(out)
 
 
 @register("minhash_signature", f"""
@@ -190,17 +272,15 @@ def q_minhash_signature(spark, sf_dir):
     """MinHash over 3-word shingles, Kirsch-Mitzenmacher permutations:
     one md5 per shingle split into 28-bit (h1, h2), perm_i = (h1 + i·h2)
     mod 2^31-1 — 32 integer mins per doc instead of 32 digests per
-    shingle."""
-    ex = _shingle_rows(spark, sf_dir)
-    h = F.md5("s")
-    hp = ex.select(
-        "doc_id",
-        F.conv(F.substring(h, 1, 7), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(h, 8, 7), 16, 10).cast("long").alias("h2"))
-    return hp.groupBy("doc_id").agg(*[
-        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_KM_MOD))
-        .alias(f"h{i}")
-        for i in range(1, N_PERMS + 1)])
+    shingle. Fused into one Arrow-batched kernel (r9): tokenization, gram
+    assembly, md5 and the 32 mins all in the worker — the former plan
+    exploded 2.6 M gram rows through a distinct and a groupBy-min
+    exchange (3.6 s at sf1.0); the fused kernel keeps each doc's grams in
+    its row, zero exchanges past the input spread."""
+    src = _spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    schema = "doc_id long, " + ", ".join(
+        f"h{i} long" for i in range(1, N_PERMS + 1))
+    return src.mapInPandas(_minhash_sig_kernel, schema)
 
 
 @register("minhash_lsh_candidates", f"""
@@ -1502,31 +1582,25 @@ _DECONTAM_NGRAMS_SQL = f"""
 """
 
 
-def _ngram_rows(spark, sf_dir, n):
-    """(doc_id, s) — distinct n-word shingles, one row each, ZERO shuffle.
+def _ngram_rows(spark, sf_dir, n, pred=None):
+    """(doc_id, s) — distinct n-word shingles, one row each, assembled in
+    the batched gram kernel (see _gram_kernel: the former per-row
+    transform(slice(), array_join()) was interpreted per gram — 4.6 s at
+    sf1.0 for the 5-gram corpus — while the kernel builds the same strings
+    batched in ~1 s engine-wide). No exchange past the (env-gated) input
+    spread: each doc's grams are assembled inside its own row.
 
-    Unlike ``_shingle_rows`` (posexplode + lead() windows, which costs a
-    doc_id-keyed exchange for the window sort), grams are assembled
-    per-row: explode a ONE-element array to materialize the tokenized
-    words as a generator output attribute — CollapseProject cannot inline
-    an expression across a Generate node, so the slice() lambdas reference
-    the attribute instead of re-tokenizing per gram (the direct
-    transform-over-expression form re-tokenizes once per element; measured
-    20x slower at sf0.1). array_distinct dedups per doc in-row, so no
-    exchange exists anywhere in the gram subtree.
-    """
+    ``pred``: optional filter applied to the documents SCAN. Catalyst
+    cannot push a doc_id filter through the opaque kernel, so callers that
+    want only a split of the corpus (decontamination's eval vs train
+    branches) must filter BEFORE gram assembly — passing it here keeps the
+    pushdown explicit."""
     d = load(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " "), " "),
-        lambda w: w != "")
-    ex = d.select("doc_id", F.explode(F.array(words)).alias("ws")) \
-        .filter(F.size("ws") >= n)
-    grams = F.array_distinct(F.transform(
-        # sequence() descends when start > stop, so the >= n filter above
-        # is load-bearing
-        F.sequence(F.lit(1), F.size("ws") - (n - 1)),
-        lambda i: F.array_join(F.slice("ws", i, n), " ")))
-    return ex.select("doc_id", F.explode(grams).alias("s"))
+    if pred is not None:
+        d = d.filter(pred)
+    src = _spread(d).select("doc_id", "text")
+    return src.mapInPandas(_gram_kernel(n, ("doc_id",)),
+                           "doc_id long, s string")
 
 
 @register("decontaminate_ngram", f"""
@@ -1558,10 +1632,14 @@ def q_decontaminate_ngram(spark, sf_dir):
     and distinct eval docs hit — the removal decision (n_hits >= tau) is a
     downstream filter.
     """
-    ng = _ngram_rows(spark, sf_dir, _DECONTAM_N)
-    ev = ng.filter(F.col("doc_id") % _DECONTAM_MOD == 0) \
+    # split BEFORE gram assembly (the _ngram_rows pred): a doc_id filter
+    # cannot push through the opaque gram kernel, and filtering after would
+    # assemble every gram twice
+    ev = _ngram_rows(spark, sf_dir, _DECONTAM_N,
+                     pred=F.col("doc_id") % _DECONTAM_MOD == 0) \
         .select("s", F.col("doc_id").alias("eval_id")).distinct()
-    corpus = ng.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    corpus = _ngram_rows(spark, sf_dir, _DECONTAM_N,
+                         pred=F.col("doc_id") % _DECONTAM_MOD != 0)
     hits = corpus.join(F.broadcast(ev), "s")
     return hits.groupBy("doc_id").agg(
         F.countDistinct("s").alias("n_hits"),

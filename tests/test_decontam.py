@@ -51,9 +51,12 @@ def test_decontaminate_matches_python(spark):
     assert all(d % _DECONTAM_MOD != 0 for d in got)  # eval docs never flagged
 
 
-def test_ngram_rows_zero_shuffle_and_short_docs(spark):
-    """The gram subtree must stay exchange-free (the scale contract) and a
-    doc shorter than n words must vanish, not emit a descending sequence()."""
+def test_ngram_rows_zero_shuffle_and_short_docs(spark, monkeypatch):
+    """The gram subtree must stay exchange-free (the scale contract: each
+    doc's grams are assembled inside its own row; the only optional
+    exchange is the env-gated input spread for single-row-group scans) and
+    a doc shorter than n words must vanish."""
+    monkeypatch.setenv("SPARK_GRAFT_INPUT_SPREAD", "0")
     ng = _ngram_rows(spark, SF_DIR, _DECONTAM_N)
     plan = ng._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
