@@ -34,6 +34,47 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Round-robin the rows of a single-row-group input across the engine.
+
+    The driver's testdata parquet ships each table as ONE file with one or
+    few row groups, so parquet's row-group split granularity caps the scan —
+    and every stage before the first exchange (per-row parsing, explode,
+    map-side partial aggregation, the streamed side of a broadcast join) —
+    at one task regardless of core count. Guide §2.5: "input skew: one huge
+    unsplittable file — repartition immediately after the read". The
+    exchange moves only the scanned bytes (MBs here) and uses an EXPLICIT
+    partition count derived from engine width (3 tasks/core, the session's
+    standard sizing) so AQE does not coalesce it back to one partition.
+    On a store whose layout already provides >= engine-width splits this
+    exchange is pure overhead — disable with SPARK_GRAFT_INPUT_SPREAD=0
+    (scale knob, local default on).
+
+    Float note: spreading a table that feeds a float aggregation changes
+    which rows share a partial aggregate, i.e. the summation order. That is
+    already true of the DuckDB oracles (parallel aggregation) and is exactly
+    what the registry's float discipline exists for: every cross-engine
+    float is ROUND()ed on both sides (module docstring).
+
+    ``key``: a (near-)unique column to HASH-partition on. Preferred over
+    keyless round-robin, which pays a local sort of the whole input on the
+    single upstream task first (spark.sql.execution.sortBeforeRepartition,
+    needed so retried tasks reproduce their row-to-partition assignment —
+    measured +1 s on the 1 M-row events table). Hashing a unique id is the
+    guide §2.5 deterministic-spread pattern: retry-safe by construction,
+    uniform because the key cardinality vastly exceeds the partition count,
+    and sort-free.
+    """
+    import os
+    if os.environ.get("SPARK_GRAFT_INPUT_SPREAD", "1") == "0":
+        return df
+    sc = df.sparkSession.sparkContext
+    n = 3 * sc.defaultParallelism
+    if key is not None:
+        return df.repartition(n, key)
+    return df.repartition(n)
+
+
 def _ordered(d: dict) -> dict:
     """Registry order: _PRIORITY first, then registration order.
 

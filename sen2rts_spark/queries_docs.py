@@ -14,30 +14,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from .queries import load, register
-
-
-def _spread(df):
-    """Round-robin the rows of a single-row-group input across the engine.
-
-    The driver's documents/embeddings parquet ships as ONE file with ONE row
-    group, so parquet's row-group split granularity caps the scan — and every
-    stage before the first exchange (tokenize, explode, pair expansion on the
-    streamed side of a broadcast join) — at a single task regardless of core
-    count (measured: the sf1.0 candidate-pair stages ran 2/32 cores). Guide
-    §2.5: "input skew: one huge unsplittable file — repartition immediately
-    after the read". The exchange moves only the scanned bytes (MBs here) and
-    uses an EXPLICIT partition count derived from the engine width (3
-    tasks/core, the session's standard sizing) so AQE does not coalesce the
-    tiny-by-bytes exchange back to one partition. On a store whose layout
-    already provides >= engine-width splits this exchange is pure overhead —
-    disable with SPARK_GRAFT_INPUT_SPREAD=0 (scale knob, local default on).
-    """
-    import os
-    if os.environ.get("SPARK_GRAFT_INPUT_SPREAD", "1") == "0":
-        return df
-    sc = df.sparkSession.sparkContext
-    return df.repartition(3 * sc.defaultParallelism)
+from .queries import load, register, spread as _spread
 
 
 # --------------------------------------------------------------------------
@@ -217,7 +194,7 @@ def _shingle_rows(spark, sf_dir):
     assembled in the batched gram kernel over the Catalyst tokenizer (see
     _gram_kernel; replaces the lead()-window + distinct plan, whose two
     all-gram-rows exchanges dominated the MinHash family at sf1.0)."""
-    src = _spread(load(spark, sf_dir, "documents")) \
+    src = _spread(load(spark, sf_dir, "documents"), "doc_id") \
         .select("doc_id", "source", "text")
     return src.mapInPandas(_gram_kernel(3, ("doc_id", "source")),
                            "doc_id long, source string, s string")
@@ -277,7 +254,7 @@ def q_minhash_signature(spark, sf_dir):
     exploded 2.6 M gram rows through a distinct and a groupBy-min
     exchange (3.6 s at sf1.0); the fused kernel keeps each doc's grams in
     its row, zero exchanges past the input spread."""
-    src = _spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    src = _spread(load(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     schema = "doc_id long, " + ", ".join(
         f"h{i} long" for i in range(1, N_PERMS + 1))
     return src.mapInPandas(_minhash_sig_kernel, schema)
@@ -786,7 +763,7 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("ne_").alias("nq_"))
     # _spread: the scored side streams against the broadcast query set —
     # parallelize it past the one-row-group scan
-    j = F.broadcast(q).join(_spread(e), F.col("vec_id") != F.col("qid"))
+    j = F.broadcast(q).join(_spread(e, "vec_id"), F.col("vec_id") != F.col("qid"))
     sim = F.round(_sim_pre(), 4)
     sims = j.select("qid", "vec_id", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
@@ -835,7 +812,7 @@ def ann_lsh_pairs(e, hot_bucket_cap=None):
     # _spread: the pair expansion happens on the STREAMED side of the
     # (planner-chosen) broadcast join — parallelize it past the one-row-group
     # scan; the build side stays as the planner sizes it
-    a = _spread(left).select(
+    a = _spread(left, "vec_id").select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
         "bucket", nrm.alias("na_"))
     b = withb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
@@ -1001,7 +978,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     # wins ties (struct ordering: csim desc via max, then -cell).
     # _spread: the C-cosines-per-row assign scan streams against the
     # broadcast centroids — parallelize it past the one-row-group scan
-    asim = F.broadcast(cents).crossJoin(_spread(e)) \
+    asim = F.broadcast(cents).crossJoin(_spread(e, "vec_id")) \
         .select("vec_id", "embedding", "ne_", "cell", csim.alias("csim"))
     assign = asim.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("csim"), -F.col("cell"))).alias("cell"),
@@ -1108,7 +1085,7 @@ def q_ann_ivf_lloyd_topk(spark, sf_dir):
     # _spread once at the source: all three broadcast-centroid assign scans
     # and the norm projection reuse the same engine-width exchange instead of
     # the one-row-group scan
-    e = _spread(load(spark, sf_dir, "embeddings")) \
+    e = _spread(load(spark, sf_dir, "embeddings"), "vec_id") \
         .withColumn("ne_", F.expr(_norm_sql("embedding")))
     csim = F.round(_sim_pre(), 4)
     cents = e.filter(F.col("vec_id") < 16).select(
@@ -1598,7 +1575,7 @@ def _ngram_rows(spark, sf_dir, n, pred=None):
     d = load(spark, sf_dir, "documents")
     if pred is not None:
         d = d.filter(pred)
-    src = _spread(d).select("doc_id", "text")
+    src = _spread(d, "doc_id").select("doc_id", "text")
     return src.mapInPandas(_gram_kernel(n, ("doc_id",)),
                            "doc_id long, s string")
 

@@ -85,6 +85,12 @@ def get_spark(app: str = "sen2rts_spark", cores: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner choose shuffled-hash over sort-merge when its
+        # build-side size conditions hold (guide §3.1/§9): drops the per-
+        # round sorts in iterative joins (connected components -5%) and the
+        # equi-join sorts of the interval range join (-13% at sf1.0). The
+        # planner still falls back to SMJ when a build side could not fit.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
