@@ -34,7 +34,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+def spread(df: DataFrame, *keys: str) -> DataFrame:
     """Round-robin the rows of a single-row-group input across the engine.
 
     The driver's testdata parquet ships each table as ONE file with one or
@@ -56,22 +56,32 @@ def spread(df: DataFrame, key: str | None = None) -> DataFrame:
     what the registry's float discipline exists for: every cross-engine
     float is ROUND()ed on both sides (module docstring).
 
-    ``key``: a (near-)unique column to HASH-partition on. Preferred over
-    keyless round-robin, which pays a local sort of the whole input on the
-    single upstream task first (spark.sql.execution.sortBeforeRepartition,
+    ``keys``: columns to HASH-partition on — a (near-)unique id, or the
+    downstream groupBy keys so the kernel's exchange is this one. Preferred
+    over keyless round-robin, which pays a local sort of the whole input on
+    the single upstream task first (spark.sql.execution.sortBeforeRepartition,
     needed so retried tasks reproduce their row-to-partition assignment —
     measured +1 s on the 1 M-row events table). Hashing a unique id is the
     guide §2.5 deterministic-spread pattern: retry-safe by construction,
     uniform because the key cardinality vastly exceeds the partition count,
     and sort-free.
+
+    Partition count is ENGINE WIDTH (1 task/core), not the session's
+    3-tasks/core shuffle sizing: every consumer of this exchange is an
+    Arrow/Python kernel stage whose cost is dominated by per-task dispatch +
+    Arrow conversion, not by straggler smoothing — measured 3/core → 1/core:
+    minhash_lsh_candidates 1.72 -> 1.15 s at sf1.0 and 1.35 -> 0.69 s at
+    sf0.1. The explicit count also stops AQE coalescing a small kernel input
+    to ONE partition, which serialized the per-group Python calls (pair
+    kernel at sf0.1: 1.10 -> 0.62 s).
     """
     import os
     if os.environ.get("SPARK_GRAFT_INPUT_SPREAD", "1") == "0":
         return df
     sc = df.sparkSession.sparkContext
-    n = 3 * sc.defaultParallelism
-    if key is not None:
-        return df.repartition(n, key)
+    n = sc.defaultParallelism
+    if keys:
+        return df.repartition(n, *keys)
     return df.repartition(n)
 
 

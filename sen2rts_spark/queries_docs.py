@@ -853,7 +853,10 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     # _pairwise_cosine_block; 782 k pairs at sf1.0 took 9.1 s through the
     # interpreted per-pair fold). ann_lsh_pairs remains the generic
     # (capped) pair generator for callers that need the join form.
-    withb = e.select("vec_id", bucket.alias("bucket"), "embedding")
+    # _spread on the bucket key — one reused exchange, AQE-coalesce-proof
+    # (see q_dedup_embedding_near)
+    withb = _spread(e.select("vec_id", bucket.alias("bucket"), "embedding"),
+                    "bucket")
     out = withb.groupBy("bucket") \
         .applyInPandas(_pair_sims_kernel(ANN_SIM_THR, extra_cols=("bucket",)),
                        "va long, vb long, sim double, bucket int")
@@ -1426,7 +1429,12 @@ def q_dedup_embedding_near(spark, sf_dir):
     # O(dim) fold per candidate pair dominated the query (measured
     # ~11 us/pair, 14.9 s at sf1.0 for 1.25 M pairs). Raw sims cross the
     # boundary; the ROUND stays in Catalyst as before.
-    eb = e.select("vec_id", "label", bucket.alias("bucket"), "embedding")
+    # _spread on the cell key: the groupBy reuses this one exchange, and the
+    # explicit engine-width count stops AQE coalescing the (tiny-by-bytes)
+    # kernel input to one partition, which would serialize the per-cell
+    # Python calls (measured 1.10 -> 0.62 s at sf0.1)
+    eb = _spread(e.select("vec_id", "label", bucket.alias("bucket"),
+                          "embedding"), "label", "bucket")
     out = eb.groupBy("label", "bucket") \
         .applyInPandas(_pair_sims_kernel(NEAR_DUP_SIM),
                        "va long, vb long, sim double")
