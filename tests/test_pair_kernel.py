@@ -5,7 +5,6 @@ cells, a zero vector whose cosine divides by zero)."""
 
 import numpy as np
 import pyspark.sql.functions as F
-import pytest
 
 from sen2rts_spark.queries_docs import (ANN_LSH_BITS, ANN_SIM_THR,
                                         N_SIGN_BITS, NEAR_DUP_SIM,
