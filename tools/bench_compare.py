@@ -59,15 +59,16 @@ def main() -> None:
     flagged = []
     for k in sorted(set(qa) | set(qb), key=lambda k: -(qb.get(k) or qa.get(k) or 0)):
         va, vb = qa.get(k), qb.get(k)
-        if va and vb:
-            pct = (vb / va - 1) * 100
+        if va is not None and vb is not None:
+            pct = (vb / va - 1) * 100 if va else float("inf")
             mark = " <<" if abs(pct) >= thresh else ""
             if mark:
                 flagged.append((k, pct))
             print(f"{k:34s} {va:8.3f} {vb:8.3f} {pct:+6.0f}%{mark}")
         else:
-            print(f"{k:34s} {va if va else '-':>8} {vb if vb else '-':>8} "
-                  f"{'only in ' + (la if va else lb):>7}")
+            print(f"{k:34s} {'-' if va is None else va:>8} "
+                  f"{'-' if vb is None else vb:>8} "
+                  f"{'only in ' + (la if va is not None else lb):>7}")
     if flagged:
         print(f"\n{len(flagged)} row(s) beyond ±{thresh:.0f}% — check the "
               "host lines above before attributing to code; sub-0.7 s rows "

@@ -130,8 +130,14 @@ def main():
     # shipped.
     build_round = re.compile(r"_r(\d+)")
     current_build: dict[str, list] = {}
+    # r8f's collector ran during active development (build-contaminated;
+    # see BASELINE.md) — VERDICT/BASELINE compute the current-build
+    # headline excluding it, so the pool here must too. It still appears
+    # in the raw per-file listing above.
+    contaminated = {"SCALING_4to16_r8f.json"}
     for path in sorted(glob.glob(os.path.join(BENCH, "SCALING_*.json"))):
-        if os.path.basename(path) in skip:
+        if os.path.basename(path) in skip or \
+                os.path.basename(path) in contaminated:
             continue
         m = build_round.search(os.path.basename(path))
         if not m or int(m.group(1)) < FUSED_INGEST_ROUND:
