@@ -41,7 +41,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "cc_unconverged_edges"]
 
 
 def connected_components(vertices: DataFrame, edges: DataFrame,
@@ -94,3 +94,32 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return lbl.select(
         "doc_id", F.col("lbl").alias("cluster_rep"),
         (F.col("doc_id") == F.col("lbl")).alias("is_survivor"))
+
+
+def cc_unconverged_edges(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Optional convergence post-check for ``connected_components``.
+
+    Returns a one-row DataFrame ``(unconverged_edges bigint)`` counting
+    edges whose endpoints carry different ``cluster_rep`` labels. Zero iff
+    the labeling is fully converged — and a converged labeling is EXACT:
+    a vertex's label only ever decreases and always holds the id of a
+    same-component member, so the component's min-id vertex keeps its own
+    id forever; if the label is constant across every edge it is constant
+    across the component and therefore equals that min. A fixed ``iters``
+    too small for some component's diameter shows up here as a non-zero
+    count instead of silently wrong clusters.
+
+    Deliberately NOT wired into the dedup query path: it would add a join
+    + action per call for a diameter regime (> ~2**iters) LSH near-dup
+    graphs do not reach. Callers that ingest adversarial graphs can run it
+    after materializing labels; tests pin both directions (zero on
+    converged graphs, non-zero when iters is forced too small).
+    """
+    e = edges.select("src", "dst")
+    a = labels.select(F.col("doc_id").alias("src"),
+                      F.col("cluster_rep").alias("src_rep"))
+    b = labels.select(F.col("doc_id").alias("dst"),
+                      F.col("cluster_rep").alias("dst_rep"))
+    return (e.join(a, "src").join(b, "dst")
+            .filter(F.col("src_rep") != F.col("dst_rep"))
+            .agg(F.count(F.lit(1)).alias("unconverged_edges")))

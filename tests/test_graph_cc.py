@@ -57,3 +57,27 @@ def test_star_plus_chain(spark):
     edges = [(0, k) for k in range(1, 6)] + [(5, 6), (6, 7), (7, 8)]
     res = _run(spark, 9, edges)
     assert {v[0] for v in res.values()} == {0}
+
+
+def test_convergence_post_check_zero_when_converged(spark):
+    from sen2rts_spark.operators.graph import cc_unconverged_edges
+    edge_list = [(i, i + 1) for i in range(29)]
+    verts = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels = connected_components(verts, edges, iters=6)
+    assert cc_unconverged_edges(labels, edges).first()[0] == 0
+
+
+def test_convergence_post_check_detects_too_few_iters(spark):
+    # a 40-node path needs more radius than iters=1 provides; the
+    # post-check must surface that as a non-zero cross-label edge count
+    # (the silent-convergence failure mode the check exists to catch).
+    from sen2rts_spark.operators.graph import cc_unconverged_edges
+    edge_list = [(i, i + 1) for i in range(39)]
+    verts = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels = connected_components(verts, edges, iters=1)
+    n_bad = cc_unconverged_edges(labels, edges).first()[0]
+    assert n_bad > 0
+    reps = {r.cluster_rep for r in labels.collect()}
+    assert reps != {0}  # genuinely unconverged, not a false alarm
